@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the same
+parquet tables, sorts columns by name and rows by value, and compares.
+Driver-side python only (duckdb/pyarrow/pandas) — never imported by the
+Scala library.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.9g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(files[0]).to_pandas()
+        spark_cols = sorted(spark_tbl.columns)
+        spark_rows = canon(spark_tbl[spark_cols].itertuples(index=False, name=None))
+        try:
+            duck = con.execute(sql).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        duck_cols = sorted(duck.columns)
+        if duck_cols != spark_cols:
+            print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            n_fail += 1
+            continue
+        duck_rows = canon(duck[duck_cols].itertuples(index=False, name=None))
+        if spark_rows == duck_rows:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {len(spark_rows)} spark rows vs {len(duck_rows)} duck rows")
+            only_s = [r for r in spark_rows if r not in set(duck_rows)][:3]
+            only_d = [r for r in duck_rows if r not in set(spark_rows)][:3]
+            if only_s:
+                print(f"  spark-only: {only_s}")
+            if only_d:
+                print(f"  duck-only:  {only_d}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
