@@ -17,12 +17,48 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational suite (SURVEY.md §2.3 extension surface)
     "q1_agg" -> (Relational.q1Agg _),
+    "q2_join_broadcast" -> (Relational.q2JoinBroadcast _),
+    "q3_topk" -> (Relational.q3TopK _),
+    "q4_semi_join" -> (Relational.q4SemiJoin _),
+    "q5_anti_join" -> (Relational.q5AntiJoin _),
+    "q6_window" -> (Relational.q6Window _),
+    "q7_intersect" -> (Relational.q7Intersect _),
+    "q7_except" -> (Relational.q7Except _),
+    "q7_union" -> (Relational.q7Union _),
+    "q8_rollup" -> (Relational.q8Rollup _),
+    "q9_distinct_agg" -> (Relational.q9DistinctAgg _),
+    "q10_cube" -> (Relational.q10Cube _),
+    "q11_above_avg" -> (Relational.q11AboveAvg _),
+    // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
+    "ev_filter" -> (EventOps.evFilter _),
+    "ev_json" -> (EventOps.evJson _),
+    "ev_dedup_window" -> (EventOps.evDedupWindow _),
+    "ev_sessionize" -> (EventOps.evSessionize _),
+    "ev_window_agg" -> (EventOps.evWindowAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1AggSql,
+    "q2_join_broadcast" -> Relational.q2JoinBroadcastSql,
+    "q3_topk" -> Relational.q3TopKSql,
+    "q4_semi_join" -> Relational.q4SemiJoinSql,
+    "q5_anti_join" -> Relational.q5AntiJoinSql,
+    "q6_window" -> Relational.q6WindowSql,
+    "q7_intersect" -> Relational.q7IntersectSql,
+    "q7_except" -> Relational.q7ExceptSql,
+    "q7_union" -> Relational.q7UnionSql,
+    "q8_rollup" -> Relational.q8RollupSql,
+    "q9_distinct_agg" -> Relational.q9DistinctAggSql,
+    "q10_cube" -> Relational.q10CubeSql,
+    "q11_above_avg" -> Relational.q11AboveAvgSql,
+    "ev_filter" -> EventOps.evFilterSql,
+    "ev_json" -> EventOps.evJsonSql,
+    "ev_dedup_window" -> EventOps.evDedupWindowSql,
+    "ev_sessionize" -> EventOps.evSessionizeSql,
+    "ev_window_agg" -> EventOps.evWindowAggSql,
   )
 }

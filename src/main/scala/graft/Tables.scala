@@ -22,7 +22,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]); read it as a Long of epoch-nanos instead.
+    * All event-time arithmetic downstream is on integer microseconds
+    * (`ts_us = ts div 1000`), which matches DuckDB's `epoch_us(ts)` axis
+    * exactly (Spark's timestamp type is µs anyway).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Event-stream operators — the batch twins of the reference's two
+  * topologies (SURVEY.md §2.2, §2.4), generalized into reusable
+  * `DataFrame => DataFrame` combinators over the `events` table. The same
+  * combinators run unchanged on a streaming DataFrame (the pipelines in
+  * `graft.streaming` reuse them); the stateful dedup has a dedicated
+  * streaming implementation in `graft.streaming.DedupStream`.
+  *
+  * Scale notes:
+  *   - `dedupWindowed` / `sessionize` shuffle ONCE on the partition key and
+  *     sort within partitions (Catalyst plans a single Exchange + Sort for
+  *     all window functions over the same (partition, order) spec). At
+  *     100 TB the key (`user_id`) is high-cardinality → even distribution;
+  *     AQE skew-join/partition-coalescing handles stragglers.
+  *   - All event-time arithmetic is done on `unix_micros` (Spark truncates
+  *     parquet ns-timestamps to µs; the oracle uses `epoch_us` for the
+  *     identical integer axis).
+  */
+object EventOps {
+
+  /** F1 (reference `KafkaStreamsApplication.java:110`): equality filter on a
+    * field, SQL null semantics (null field → row dropped — deliberate,
+    * documented divergence from the reference's NPE; SURVEY.md §2.2).
+    */
+  def filterEquals(df: DataFrame, column: String, value: String): DataFrame =
+    df.filter(col(column) === lit(value))
+
+  def evFilter(spark: SparkSession, sfDir: String): DataFrame =
+    filterEquals(Tables.events(spark, sfDir), "event_type", "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  val evFilterSql: String =
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'error'"
+
+  /** S1/F3 (serde + nested projection, reference `JsonDeserializer.java` +
+    * `KStreamDistinct.java:148`): parse a JSON payload column against an
+    * explicit schema and project a nested field; parent-null propagates to
+    * null exactly like the reference's ternary.
+    */
+  def parseJson(df: DataFrame, column: String, schema: StructType): DataFrame =
+    df.withColumn(column + "_parsed", from_json(col(column), schema))
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType, nullable = true)))
+
+  def evJson(spark: SparkSession, sfDir: String): DataFrame =
+    parseJson(Tables.events(spark, sfDir), "props", propsSchema)
+      .select(col("event_id"), col("props_parsed.k").as("k"))
+
+  val evJsonSql: String =
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+
+  /** D1 batch twin (reference `KStreamDistinct.java:42-112`): time-windowed
+    * dedup with refresh-on-duplicate retention. The reference stores the
+    * last-seen timestamp per id — refreshed on EVERY record, duplicate or
+    * not — and emits a record iff no entry exists within ±(window/2) of its
+    * event time. On an event-time-ordered stream that is exactly: emit iff
+    * the gap to the previous record of the same id exceeds window/2 (or it
+    * is the first). One shuffle + one sort; `lag` is a codegen'd window
+    * function.
+    */
+  def dedupWindowed(df: DataFrame, keys: Seq[String], tsCol: String,
+                    idCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(idCol))
+    // integer division — epoch-nanos exceeds double's exact range (2^53),
+    // so a `/`-based (double) path would corrupt the low digits
+    val tsUs = expr(s"$tsCol div 1000")
+    val gap = tsUs - lag(tsUs, 1).over(w)
+    df.withColumn("__gap", gap)
+      .filter(col("__gap").isNull || col("__gap") > lit(gapMicros))
+      .drop("__gap")
+  }
+
+  def evDedupWindow(spark: SparkSession, sfDir: String): DataFrame =
+    dedupWindowed(Tables.events(spark, sfDir), Seq("user_id", "event_type"),
+      "ts", "event_id", 300000000L) // ±5 min, SURVEY.md §2.4
+      .select(col("event_id"))
+
+  val evDedupWindowSql: String =
+    """SELECT event_id FROM (
+      |  SELECT event_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |WHERE gap IS NULL OR gap > 300000000""".stripMargin
+
+  /** Sessionization: assign a per-user session index that increments when
+    * the gap to the previous event exceeds `gapMicros` (batch analogue of
+    * `session_window`; the streaming path uses the built-in
+    * `session_window` function). Same single-shuffle window spec as dedup.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    // integer division — epoch-nanos exceeds double's exact range (2^53),
+    // so a `/`-based (double) path would corrupt the low digits
+    val tsUs = expr(s"$tsCol div 1000")
+    val gap = tsUs - lag(tsUs, 1).over(w)
+    val isNew = when(gap.isNull || gap > lit(gapMicros), 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def evSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(Tables.events(spark, sfDir), "user_id", "ts", "event_id", 1800000000L)
+      .select(col("event_id"), col("user_id"), col("session_id"))
+
+  val evSessionizeSql: String =
+    """SELECT event_id, user_id,
+      |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)""".stripMargin
+
+  /** Tumbling-window aggregation (the streaming extension surface,
+    * SURVEY.md §2.5): per hour × event_type counts and sums. Partial
+    * aggregation happens map-side; shuffle volume = |windows × types|.
+    */
+  def windowAgg(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    // tumbling 1-hour bucket on the µs axis (ts is epoch-nanos Long);
+    // integer div — see dedupWindowed note
+    val windowStart = expr(s"(($tsCol div 1000) div 3600000000) * 3600000000")
+    df.groupBy(windowStart.as("window_start"), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  def evWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    windowAgg(Tables.events(spark, sfDir), "ts", "event_type")
+
+  val evWindowAggSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -55,4 +55,226 @@ object Relational {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: multi-way join, revenue by nation. `region`/`nation` are broadcast
+    * explicitly (tiny dimensions at any scale); `customer ⋈ orders ⋈
+    * lineitem` are key-partitioned shuffle joins — at 100 TB AQE converts
+    * the customer side to broadcast if it fits, and the orders⋈lineitem
+    * join shuffles both sides on orderkey once.
+    */
+  def q2JoinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q2JoinBroadcastSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** q3: top-k with deterministic tiebreak. `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    * driver; no global sort, no full shuffle, scales to any input size.
+    */
+  def q3TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  val q3TopKSql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** q4: left-semi join (EXISTS). The semi join needs only the join key from
+    * the right side — Catalyst prunes lineitem to one column before the
+    * shuffle.
+    */
+  def q4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val heavy = Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    ord.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4SemiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q5: left-anti join (NOT EXISTS) — customers with no orders. */
+  def q5AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+  }
+
+  val q5AntiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q6: window functions — per-supplier top-3 lineitems by price with
+    * rank + running sum. One Exchange on suppkey feeds both window
+    * functions (same window spec).
+    */
+  def q6Window(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    Tables.lineitem(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_price", round(sum(col("l_extendedprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).cast("double"))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("running_price"))
+  }
+
+  val q6WindowSql: String =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_price
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    row_number() OVER w AS rn,
+      |    round(sum(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW), 2) AS running_price
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |               ORDER BY l_extendedprice DESC, l_orderkey ASC,
+      |                        l_linenumber ASC))
+      |WHERE rn <= 3""".stripMargin
+
+  /** q7: set operations over customer keys from two derivations. */
+  private def buildingCust(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+
+  private def bigSpenders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey")).distinct()
+
+  def q7Intersect(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCust(spark, sfDir).intersect(bigSpenders(spark, sfDir))
+
+  val q7IntersectSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
+
+  def q7Except(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCust(spark, sfDir).except(bigSpenders(spark, sfDir))
+
+  val q7ExceptSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
+
+  def q7Union(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCust(spark, sfDir).union(bigSpenders(spark, sfDir)).distinct()
+
+  val q7UnionSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
+
+  /** q8: rollup (hierarchical grouping sets) over region → nation. */
+  def q8Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+  }
+
+  val q8RollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** q9: exact distinct aggregation (COUNT(DISTINCT) expands to a two-phase
+    * aggregate; partial distinct happens before the shuffle).
+    */
+  def q9DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  val q9DistinctAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q10: cube over order status × priority (multi-dimensional grouping
+    * sets).
+    */
+  def q10Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  val q10CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** q11: correlated scalar-subquery shape — orders above their customer's
+    * average order value. Expressed as join-with-aggregate (what a
+    * decorrelated plan looks like); the per-customer aggregate and the
+    * orders table co-partition on custkey, so AQE plans one shuffle each
+    * side.
+    */
+  def q11AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val avgPerCust = ord.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.join(avgPerCust, col("o_custkey") === col("ac_custkey"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q11AboveAvgSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+      |                            WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority""".stripMargin
 }
