@@ -37,6 +37,24 @@ object SparkEntry {
     "ev_dedup_window" -> (EventOps.evDedupWindow _),
     "ev_sessionize" -> (EventOps.evSessionize _),
     "ev_window_agg" -> (EventOps.evWindowAgg _),
+    // Text analysis (training-data pipeline)
+    "doc_tokens" -> (TextOps.docTokens _),
+    "doc_quality" -> (TextOps.docQuality _),
+    "doc_lang" -> (TextOps.docLang _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
+    // Dedup family
+    "dedup_exact" -> (DedupOps.dedupExact _),
+    "minhash_sig" -> (DedupOps.minhashSig _),
+    "minhash_lsh_pairs" -> (DedupOps.minhashLshPairs _),
+    "simhash_sig" -> (DedupOps.simhashSig _),
+    "simhash_neardup" -> (DedupOps.simhashNeardup _),
+    "ngram_jaccard_pairs" -> (DedupOps.ngramJaccardPairs _),
+    // Similarity search
+    "emb_knn" -> (VectorOps.embKnn _),
+    "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
+    // Multimodal columns
+    "mm_features" -> (Multimodal.mmFeatures _),
+    "mm_decode" -> (Multimodal.mmDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +78,19 @@ object SparkEntry {
     "ev_dedup_window" -> EventOps.evDedupWindowSql,
     "ev_sessionize" -> EventOps.evSessionizeSql,
     "ev_window_agg" -> EventOps.evWindowAggSql,
+    "doc_tokens" -> TextOps.docTokensSql,
+    "doc_quality" -> TextOps.docQualitySql,
+    "doc_lang" -> TextOps.docLangSql,
+    "doc_fingerprint" -> TextOps.docFingerprintSql,
+    "dedup_exact" -> DedupOps.dedupExactSql,
+    "minhash_sig" -> DedupOps.minhashSigSql,
+    "minhash_lsh_pairs" -> DedupOps.minhashLshPairsSql,
+    "simhash_sig" -> DedupOps.simhashSigSql,
+    "simhash_neardup" -> DedupOps.simhashNeardupSql,
+    "ngram_jaccard_pairs" -> DedupOps.ngramJaccardPairsSql,
+    "emb_knn" -> VectorOps.embKnnSql,
+    "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
+    "mm_features" -> Multimodal.mmFeaturesSql,
+    "mm_decode" -> Multimodal.mmDecodeSql,
   )
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the document operators (TextOps, DedupOps).
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs):
+  * higher-order functions (`transform`/`aggregate`/`filter`) over token
+  * arrays, and an md5-derived 32-bit hash.
+  *
+  * The hash is `int(md5(s)[0:8], 16)` — chosen because the exact same
+  * integer is computable in DuckDB (`('0x' || substr(md5(s),1,8))::BIGINT`),
+  * which makes every sketch operator (MinHash, SimHash, LSH) oracle-
+  * verifiable bit-for-bit. A production deployment would swap `xxhash64`
+  * (one instruction vs a crypto digest) via the `hashExpr` indirection —
+  * the operator structure is hash-agnostic.
+  */
+object TextFns {
+
+  /** 32-bit deterministic hash shared with the DuckDB oracle (SQL fragment
+    * form, for use inside higher-order-function lambdas where Column
+    * composition isn't available).
+    */
+  def h32Sql(inner: String): String =
+    s"CAST(conv(substring(md5($inner), 1, 8), 16, 10) AS BIGINT)"
+
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Normalize: lowercase, collapse non-alphanumerics to single spaces. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** SQL fragments (same semantics) for expr()-built pipelines. */
+  def normTextSql(col: String): String =
+    s"trim(regexp_replace(lower($col), '[^a-z0-9]+', ' '))"
+  def tokensSql(col: String): String = s"split(${normTextSql(col)}, ' ')"
+
+  /** Word w-shingles (w=3) over a token-array column name; yields the
+    * space-joined shingle strings (count = n-2 for n>=3 tokens).
+    */
+  def shingles3Sql(toksCol: String): String =
+    s"""transform(sequence(1, size($toksCol) - 2),
+       |  i -> concat(element_at($toksCol, i), ' ',
+       |              element_at($toksCol, i + 1), ' ',
+       |              element_at($toksCol, i + 2)))""".stripMargin
+
+  /** Character n-grams of a (pre-normalized) string column name. */
+  def charGramsSql(strCol: String, n: Int): String =
+    s"array_distinct(transform(sequence(1, length($strCol) - ${n - 1}), i -> substring($strCol, i, $n)))"
+
+  /** MinHash value i over a string-array column: min of seeded h32 per
+    * element. Seed layout `'i:' || s` matches the oracle.
+    */
+  def minhashSql(arrCol: String, i: Int): String =
+    s"array_min(transform($arrCol, s -> ${h32Sql(s"concat('$i:', s)")}))"
+
+  /** 32-bit SimHash over a token-hash-array column (hashes precomputed so
+    * each token is digested once, not 32 times): bit j set iff the majority
+    * of elements have bit j set (strict majority; tie → 0).
+    */
+  def simhash32Sql(hashArrCol: String): String =
+    s"""aggregate(
+       |  transform(sequence(0, 31), j ->
+       |    IF(2 * aggregate($hashArrCol, 0L, (a, h) -> a + (shiftright(h, j) & 1))
+       |         > size($hashArrCol),
+       |       shiftleft(CAST(1 AS BIGINT), j), 0L)),
+       |  0L, (a, x) -> a + x)""".stripMargin
+}

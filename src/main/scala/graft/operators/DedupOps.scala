@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Deduplication family over the `documents` table — the core of a
+  * training-data pipeline at 100 TB:
+  *
+  *   - exact: hash-groupBy on a content digest (one shuffle of digests,
+  *     not documents).
+  *   - MinHash + LSH: shingle → k minhashes → band buckets → bucket
+  *     self-join → exact-Jaccard verification of candidates only. The
+  *     self-join is on (band, bucket-hash) — at scale each bucket holds a
+  *     handful of docs, so the join output is ~|near-dup pairs|, never
+  *     |docs|².
+  *   - SimHash: 32-bit majority-bit signature, near-dup = small Hamming
+  *     distance within a blocking key.
+  *   - n-gram Jaccard: exact character-4-gram similarity inside a blocking
+  *     key (lang) — the quadratic fallback, usable only within small
+  *     blocks; LSH is the scale path.
+  *
+  * All hashes derive from md5 (see TextFns) so every operator — including
+  * the sketches — has a bit-exact DuckDB oracle.
+  */
+object DedupOps {
+
+  /** Exact dedup: canonical id + multiplicity per distinct normalized
+    * content digest.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("digest", md5(normText(col("text"))))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  val dedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest,
+      |  min(doc_id) AS canonical_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** MinHash signatures: 8 seeded minhashes over word 3-shingles. */
+  private def withSignature(df: DataFrame): DataFrame = {
+    val withSh = df
+      .withColumn("t", tokens(col("text")))
+      .withColumn("sh", expr(shingles3Sql("t")))
+    (0 until 8).foldLeft(withSh) { (d, i) =>
+      d.withColumn(s"m$i", expr(minhashSql("sh", i)))
+    }
+  }
+
+  def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    withSignature(Tables.documents(spark, sfDir))
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"m$i")): _*)
+
+  private val shCte =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |        FROM documents)),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |""".stripMargin +
+      (0 until 8).map(i =>
+        s"    list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 8))::BIGINT)) AS m$i")
+        .mkString(",\n") +
+      "\n  FROM sh)\n"
+
+  val minhashSigSql: String =
+    shCte + "SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig"
+
+  /** MinHash LSH near-dup pairs: 4 bands × 2 rows; candidates from band-
+    * bucket collisions, verified with exact shingle Jaccard. Emitted:
+    * every candidate pair with its exact similarity (thresholding is the
+    * caller's policy decision).
+    */
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = withSignature(Tables.documents(spark, sfDir))
+      .withColumn("shset", array_distinct(col("sh")))
+      .select(col("doc_id"), col("shset"),
+        expr(s"""array(${(0 until 4).map(b =>
+          s"named_struct('band', $b, 'bh', ${h32Sql(s"concat('$b|', m${2 * b}, ',', m${2 * b + 1})")})")
+          .mkString(", ")})""").as("bands"))
+    val exploded = sig.select(col("doc_id"), col("shset"),
+      explode(col("bands")).as("bd"))
+      .select(col("doc_id"), col("shset"),
+        col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val a = exploded.select(col("doc_id").as("a_id"), col("shset").as("a_sh"),
+      col("band"), col("bh"))
+    val b = exploded.select(col("doc_id").as("b_id"), col("shset").as("b_sh"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          (size(col("a_sh")) + size(col("b_sh"))
+            - size(array_intersect(col("a_sh"), col("b_sh")))))
+          .as("jacc"))
+      .distinct()
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  val minhashLshPairsSql: String =
+    shCte +
+      """, bands AS (
+        |  SELECT doc_id, b.band,
+        |    ('0x' || substr(md5(b.band || '|' ||
+        |       CASE b.band WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END || ',' ||
+        |       CASE b.band WHEN 0 THEN m1 WHEN 1 THEN m3 WHEN 2 THEN m5 ELSE m7 END), 1, 8))::BIGINT AS bh
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |shs AS (SELECT doc_id, list_distinct(sh) AS shset FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(len(list_intersect(x.shset, y.shset))::DOUBLE /
+        |    (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))), 4) AS jacc
+        |FROM cand JOIN shs x ON cand.a_id = x.doc_id
+        |          JOIN shs y ON cand.b_id = y.doc_id""".stripMargin
+
+  /** SimHash signatures: 32-bit majority-bit sketch over token hashes
+    * (each token digested once; 32 bit-positions aggregated from the
+    * precomputed hash array).
+    */
+  def simhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
+      .select(col("doc_id"), expr(simhash32Sql("th")).as("simhash"))
+
+  private val simhashCte =
+    """WITH sim AS (
+      |  SELECT doc_id, lang,
+      |    list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN 2 * len(list_filter(th, h -> (h >> j) & 1 = 1)) > len(th)
+      |           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      list_transform(
+      |        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS th
+      |    FROM documents))
+      |""".stripMargin
+
+  val simhashSigSql: String = simhashCte + "SELECT doc_id, simhash FROM sim"
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 within a lang block. */
+  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sim = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
+      .select(col("doc_id"), col("lang"), expr(simhash32Sql("th")).as("simhash"))
+    val a = sim.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
+    val b = sim.select(col("doc_id").as("b_id"), col("lang"), col("simhash").as("sb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  val simhashNeardupSql: String =
+    simhashCte +
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  /** Exact character-4-gram Jaccard pairs within a lang block (quadratic —
+    * valid only inside bounded blocks; MinHash-LSH is the unbounded-scale
+    * path).
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"), col("lang"),
+        expr(charGramsSql("norm", 4)).as("gr"))
+    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"))
+    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jacc", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("jacc") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, length(norm) - 2),
+      |      i -> substr(norm, i, 4))) AS gr
+      |  FROM (SELECT doc_id, lang,
+      |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |        FROM documents))
+      |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.gr, b.gr))::DOUBLE /
+      |      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jacc
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE jacc >= 0.4""".stripMargin
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns.h32Sql
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata structs; decode / feature-extraction runs
+  * distributed via `mapPartitions` over a typed Dataset (the Scala
+  * analogue of `mapInPandas` batch UDFs).
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * environment): `FakeCodec.decode` derives deterministic pseudo-metadata
+  * from the payload bytes. The Spark-side plumbing — binary schema,
+  * partitioning, typed encoders, per-partition batch decode, explode of
+  * per-frame rows — is real and oracle-tested (the fake decode is md5-
+  * derived, so DuckDB reproduces it).
+  *
+  * The `documents.text` bytes stand in for media payloads; a real corpus
+  * swaps the source column without touching the operators.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + metadata. */
+  case class MediaRecord(doc_id: Long, content: Array[Byte])
+
+  /** Per-frame metadata produced by the (stubbed) decoder. */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, width: Int, height: Int)
+
+  /** STUB codec — deterministic fake standing in for an image/video
+    * library call. A production build replaces `decode` with the real
+    * codec; everything around it (partitioning, encoders, explode) stays.
+    */
+  object FakeCodec {
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+
+    def h32(s: String): Long = java.lang.Long.parseLong(s.substring(0, 8), 16)
+
+    /** "Decode" a payload: one frame per KiB (+1), dimensions from the
+      * digest.
+      */
+    def decode(r: MediaRecord): Seq[FrameMeta] = {
+      val digest = md5Hex(r.content)
+      val h = h32(digest)
+      val nFrames = (r.content.length / 1024 + 1).toInt
+      (0 until nFrames).map { i =>
+        FrameMeta(r.doc_id, i, (h % 1920).toInt + 1, (h % 1080).toInt + 1)
+      }
+    }
+  }
+
+  /** Distributed decode: batch per partition through the codec. This is the
+    * `mapPartitions` path — one codec context per partition, streaming
+    * iterator in/out, no driver round-trip; at 100 TB each task decodes
+    * its parquet split independently.
+    */
+  def decodeFrames(media: Dataset[MediaRecord]): Dataset[FrameMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it => it.flatMap(FakeCodec.decode) }
+  }
+
+  /** Expression-path feature extraction over the binary payload (no codec
+    * needed): byte length, content digest, digest-derived dimensions.
+    */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("content", encode(col("text"), "UTF-8"))
+      .withColumn("digest", md5(col("content")))
+      .select(col("doc_id"),
+        octet_length(col("content")).as("n_bytes"),
+        col("digest"),
+        (expr(h32Sql("digest")) % 1920 + 1).as("width"),
+        (expr(h32Sql("digest")) % 1080 + 1).as("height"))
+
+  val mmFeaturesSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+      |  ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 1920 + 1 AS width,
+      |  ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 1080 + 1 AS height
+      |FROM documents""".stripMargin
+
+  /** Decode-path query: run the stub codec distributed, aggregate per-doc
+    * frame counts + dimensions. Oracle-expressible because the stub is
+    * md5-derived.
+    */
+  def mmDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRecord]
+    decodeFrames(media).toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("width")).as("width"), max(col("height")).as("height"))
+  }
+
+  // NB: the stub codec parses the first 8 hex chars of the content digest
+  // directly (single md5), unlike mm_features which re-hashes the digest.
+  val mmDecodeSql: String =
+    """SELECT doc_id, octet_length(encode(text)) // 1024 + 1 AS n_frames,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1 AS width,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1080 + 1 AS height
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a training-data
+  * pipeline runs before dedup and filtering.
+  *
+  * All operators are narrow (per-row expressions, no shuffle except final
+  * aggregations) and codegen-friendly: tokenization and scoring are
+  * higher-order functions over a single `split`, so a 100 TB corpus scans
+  * once with zero exchanges.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "or", "is")
+  private val stopEs = Seq("el", "la", "de", "los", "y", "en", "que", "un")
+  private val stopFr = Seq("le", "la", "de", "les", "et", "en", "que", "un")
+  private val stopDe = Seq("der", "die", "das", "und", "von", "zu", "ein", "mit")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private def scoreSql(toks: String, xs: Seq[String]): String =
+    s"size(filter($toks, x -> x IN ${inList(xs)}))"
+
+  /** Token counting: total + distinct tokens per document. */
+  def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_uniq"))
+
+  val docTokensSql: String =
+    """SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq
+      |FROM (SELECT doc_id,
+      |        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |      FROM documents)""".stripMargin
+
+  /** Quality scoring: length stats + stopword ratio (the filter signals a
+    * pretraining pipeline thresholds on).
+    */
+  def docQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        round(expr("aggregate(t, 0L, (a, x) -> a + length(x))").cast("double")
+          / size(col("t")), 4).as("avg_token_len"),
+        round(expr(scoreSql("t", stopEn)).cast("double") / size(col("t")), 4)
+          .as("stop_ratio"),
+        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+          .as("uniq_ratio"))
+
+  val docQualitySql: String =
+    s"""SELECT doc_id, len(t) AS n_tokens,
+       |  round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4) AS avg_token_len,
+       |  round(len(list_filter(t, x -> x IN ${inList(stopEn)}))::DOUBLE / len(t), 4) AS stop_ratio,
+       |  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS uniq_ratio
+       |FROM (SELECT doc_id,
+       |        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       |      FROM documents)""".stripMargin
+
+  /** Language ID: stopword-profile scores with a deterministic argmax
+    * (priority en > es > fr > de on ties; 'und' when nothing matches).
+    * A real pipeline swaps richer n-gram profiles in; the operator shape
+    * (per-row score vector → argmax) is the same.
+    */
+  def docLang(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("s_en", expr(scoreSql("t", stopEn)))
+      .withColumn("s_es", expr(scoreSql("t", stopEs)))
+      .withColumn("s_fr", expr(scoreSql("t", stopFr)))
+      .withColumn("s_de", expr(scoreSql("t", stopDe)))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"),
+        expr("""CASE
+          WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+          WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+          WHEN s_fr >= s_de THEN 'fr'
+          ELSE 'de' END""").as("lang_pred"))
+
+  val docLangSql: String = {
+    def sc(xs: Seq[String]) = s"len(list_filter(t, x -> x IN ${inList(xs)}))"
+    s"""SELECT doc_id, s_en, s_es, s_fr, s_de,
+       |  CASE
+       |    WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+       |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |    WHEN s_fr >= s_de THEN 'fr'
+       |    ELSE 'de' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, ${sc(stopEn)} AS s_en, ${sc(stopEs)} AS s_es,
+       |         ${sc(stopFr)} AS s_fr, ${sc(stopDe)} AS s_de
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       |        FROM documents))""".stripMargin
+  }
+
+  /** Document fingerprinting: full md5 digest of the normalized text plus
+    * the shared 32-bit hash (rolling-hash analogue; content-addressable id).
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"), md5(col("norm")).as("digest"),
+        h32(col("norm")).as("fp32"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(norm) AS digest,
+      |  ('0x' || substr(md5(norm), 1, 8))::BIGINT AS fp32
+      |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |      FROM documents)""".stripMargin
+}
