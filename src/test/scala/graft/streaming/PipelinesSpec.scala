@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.LogEvent
+import graft.serde.JsonCodec
+
+/** Kafka-shaped input frame for tests (key/value as strings; the pipelines
+  * cast).
+  */
+case class Frame(key: String, value: String, timestamp: Timestamp)
+
+class PipelinesSpec extends SparkSpec {
+
+  private def info(host: String) =
+    s"""{"version":1,"source_host":"$host","message":"ok","thread_name":"main","timestamp":"2024-02-05T14:59:01.614-0500","level":"INFO","logger_name":"app"}"""
+  private def error(host: String) =
+    s"""{"version":1,"source_host":"$host","message":"Some Failure","thread_name":"main","timestamp":"2024-02-05T14:59:01.614-0500","level":"ERROR","logger_name":"app"}"""
+
+  test("T1 filter pipeline keeps INFO, drops others and null levels (streaming)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Frame]
+    val out = Pipelines.filterPipeline(input.toDF())
+    val qn = s"t1_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Frame("k1", info("h1"), new Timestamp(0)),
+        Frame("k2", error("h2"), new Timestamp(0)),
+        Frame("k3", """{"version":1,"message":"nolevel"}""", new Timestamp(0))))
+      q.processAllAvailable()
+      val vals = spark.table(qn)
+        .select(col("key").cast("string"), col("value").cast("string")).collect()
+      assert(vals.length == 1)
+      assert(vals.head.getString(0) == "k1")
+      assert(vals.head.getString(1).contains("\"source_host\":\"h1\""))
+      assert(vals.head.getString(1).contains("\"level\":\"INFO\""))
+    } finally q.stop()
+  }
+
+  test("T1 batch twin: same combinator on a batch DataFrame") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Frame("k1", info("h1"), new Timestamp(0)),
+      Frame("k2", error("h2"), new Timestamp(0))).toDF()
+    val out = Pipelines.filterPipeline(df)
+    assert(out.count() == 1)
+  }
+
+  test("T2 dedup pipeline end-to-end: duplicate exception suppressed (streaming)") {
+    val s = spark
+    import s.implicits._
+    def boom(t: Long) =
+      s"""{"exception":{"exception_class":"java.lang.RuntimeException","exception_message":"x","stacktrace":"st"},"version":1,"source_host":"h","message":"m","thread_name":"t","timestamp":"ts","level":"ERROR","logger_name":"l"}"""
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Frame]
+    val out = Pipelines.dedupPipeline(input.toDF())
+    val qn = s"t2_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Frame("a", boom(0), new Timestamp(0)),
+        Frame("b", boom(1), new Timestamp(60 * 1000)), // +1 min → dup
+        Frame("c", info("h9"), new Timestamp(0)))) // no exception → passthrough
+      q.processAllAvailable()
+      val vals = spark.table(qn).select(col("value").cast("string")).collect()
+        .map(_.getString(0))
+      assert(vals.length == 2)
+      assert(vals.count(_.contains("RuntimeException")) == 1)
+      assert(vals.count(_.contains("\"level\":\"INFO\"")) == 1)
+    } finally q.stop()
+  }
+
+  test("JSON codec: null payload → null struct; malformed → null in PERMISSIVE") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k", null: String), ("k2", "{not json")).toDF("key", "value")
+    val decoded = df.select(
+      JsonCodec.decode(col("value"), LogEvent.schema, JsonCodec.Permissive).as("event"))
+    val rows = decoded.collect()
+    assert(rows.forall(_.isNullAt(0) || rows.length == 2))
+    assert(decoded.filter(col("event").isNull).count() == 1) // null in → null out
+    // malformed in PERMISSIVE → struct with null fields, not an exception
+    assert(decoded.filter(col("event").isNotNull).count() == 1)
+  }
+
+  test("JSON codec round-trip preserves the event") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k", error("hX"))).toDF("key", "value")
+    val round = df
+      .select(JsonCodec.decode(col("value"), LogEvent.schema).as("event"))
+      .select(JsonCodec.encodeJson(col("event")).as("json"))
+      .select(JsonCodec.decode(col("json"), LogEvent.schema).as("event"))
+    val r = round.select("event.source_host", "event.level", "event.version").collect().head
+    assert(r.getString(0) == "hX" && r.getString(1) == "ERROR" && r.getInt(2) == 1)
+  }
+}
