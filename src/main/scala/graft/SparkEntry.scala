@@ -37,6 +37,7 @@ object SparkEntry {
     "ev_dedup_window" -> (EventOps.evDedupWindow _),
     "ev_sessionize" -> (EventOps.evSessionize _),
     "ev_window_agg" -> (EventOps.evWindowAgg _),
+    "ev_asof_join" -> (Temporal.evAsofJoin _),
     // Text analysis (training-data pipeline)
     "doc_tokens" -> (TextOps.docTokens _),
     "doc_quality" -> (TextOps.docQuality _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "ev_dedup_window" -> EventOps.evDedupWindowSql,
     "ev_sessionize" -> EventOps.evSessionizeSql,
     "ev_window_agg" -> EventOps.evWindowAggSql,
+    "ev_asof_join" -> Temporal.evAsofJoinSql,
     "doc_tokens" -> TextOps.docTokensSql,
     "doc_quality" -> TextOps.docQualitySql,
     "doc_lang" -> TextOps.docLangSql,

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: Jaccard similarity of two SORTED, DISTINCT
+  * long arrays via a single merge pass — O(n+m) with no per-call hash-set
+  * build (vs two `array_intersect` evaluations per pair). Registered as
+  * `jaccard_sorted(a, b)`.
+  *
+  * Inputs must be sorted ascending with distinct elements (the operators
+  * produce them with `sort_array(array_distinct(...))`); the oracle's
+  * `list_intersect` over the same integer lists yields the identical
+  * count.
+  */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements(); int m = $b.numElements();
+         |int i = 0; int j = 0; int inter = 0;
+         |while (i < n && j < m) {
+         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
+         |  if (xi == yj) { inter++; i++; j++; }
+         |  else if (xi < yj) { i++; } else { j++; }
+         |}
+         |int union = n + m - inter;
+         |${ev.value} = union == 0 ? 0.0 : ((double) inter) / union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSimilarity {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSimilarity(exprs(0), exprs(1)), "built-in")
+}

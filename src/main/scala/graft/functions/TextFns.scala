@@ -53,11 +53,28 @@ object TextFns {
   def charGramsSql(strCol: String, n: Int): String =
     s"array_distinct(transform(sequence(1, length($strCol) - ${n - 1}), i -> substring($strCol, i, $n)))"
 
-  /** MinHash value i over a string-array column: min of seeded h32 per
-    * element. Seed layout `'i:' || s` matches the oracle.
+  /** MinHash permutation constants: h_i(x) = (A_i·x + B_i) mod P over the
+    * base h32. One md5 digest per element total, k cheap integer perms —
+    * the standard trick (vs k seeded digests). A_i < 2^15 keeps A·h < 2^47,
+    * safely inside BIGINT in both engines.
     */
-  def minhashSql(arrCol: String, i: Int): String =
-    s"array_min(transform($arrCol, s -> ${h32Sql(s"concat('$i:', s)")}))"
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(12289, 18433, 24593, 28687, 3079, 6151, 9173, 16411)
+  val MinhashB: Seq[Long] = Seq(7, 101, 1009, 10007, 20011, 30011, 40009, 50021)
+
+  /** Element-wise h32 of a string-array column (digest each element ONCE;
+    * minhashes derive arithmetically from this array).
+    */
+  def hashArraySql(arrCol: String): String =
+    s"transform($arrCol, s -> ${h32Sql("s")})"
+
+  /** MinHash value i over a pre-hashed long-array column. */
+  def minhashSql(hashArrCol: String, i: Int): String =
+    s"array_min(transform($hashArrCol, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${MinhashP}L))"
+
+  /** DuckDB twin of minhashSql (same integers). */
+  def minhashDuck(hashArrCol: String, i: Int): String =
+    s"list_min(list_transform($hashArrCol, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP))"
 
   /** 32-bit SimHash over a token-hash-array column (hashes precomputed so
     * each token is digested once, not 32 times): bit j set iff the majority

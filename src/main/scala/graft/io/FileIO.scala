@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File source/sink helpers (SURVEY.md §2.1 marks file connectors as the
+  * trivial extension beyond the reference's Kafka-only surface). Schemas
+  * are always explicit — inference is banned so batch, streaming, and the
+  * oracle agree (SURVEY.md §1.5).
+  *
+  * Scale notes: parquet is the canonical format (columnar, predicate/
+  * projection pushdown, splittable); CSV/JSON exist for ingest edges.
+  * Writers partition by the given columns so downstream reads prune
+  * directories instead of scanning.
+  */
+object FileIO {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Streaming twin: same formats through `readStream` (file-arrival
+    * micro-batches).
+    */
+  def readStreamParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

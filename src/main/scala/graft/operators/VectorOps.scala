@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.{CosineSimilarity, TextFns}
 import graft.functions.TextFns.h32Sql
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
@@ -29,26 +30,20 @@ object VectorOps {
 
   private val dims = 64
 
-  /** dot(a, b) via zip_with + left-fold aggregate (sequential, matching
-    * the oracle's list_sum order).
-    */
-  private def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
   private def withVec(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr(s"sqrt(${dotSql("v", "v")})"))
 
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10). */
   def embKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", expr(dotSql("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
@@ -85,15 +80,15 @@ object VectorOps {
 
   /** LSH-bucketed near-duplicate pairs, exact-cosine-verified (>= 0.3). */
   def embNeardupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .withColumn("bucket", expr(bucketSql))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
-      col("nrm").as("an"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
-      col("nrm").as("bn"), col("bucket"))
+      .persist() // barrier: 384 digests/row computed once, not per join side
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", expr(dotSql("av", "bv")) / (col("an") * col("bn")))
+      .withColumn("cos", expr("cosine_sim(av, bv)"))
       .filter(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
       .distinct()
