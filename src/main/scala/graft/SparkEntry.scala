@@ -53,6 +53,7 @@ object SparkEntry {
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
     "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
+    "emb_ivf_knn" -> (VectorOps.embIvfKnn _),
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> DedupOps.ngramJaccardPairsSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
+    "emb_ivf_knn" -> VectorOps.embIvfKnnSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
   )

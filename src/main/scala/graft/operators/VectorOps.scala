@@ -111,4 +111,79 @@ object VectorOps {
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
        |    / (a.nrm * b.nrm) >= 0.3""".stripMargin
+
+  /** IVF-style ANN: the corpus is partitioned into cells by nearest pivot
+    * (pivots = the 16 lowest-id vectors — deterministic, no trained
+    * centroids, so the oracle reproduces the structure exactly); a query
+    * probes its `nprobe = 2` nearest cells and scores only those inverted
+    * lists. At 100 TB: cells are the partition key (each inverted list is
+    * a bounded scan), pivots broadcast, probe cost = nprobe/k of the
+    * corpus vs brute force. Real deployments train pivots with k-means —
+    * the query plan is identical.
+    */
+  def embIvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).persist()
+    val piv = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val cells = e.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(v, pv)"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("p_id").as("cell"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(qv, pv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("qv"), col("p_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  val embIvfKnnSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |piv AS (SELECT vec_id AS p_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 16),
+       |cells AS (
+       |  SELECT vec_id, v, nrm, p_id AS cell FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, piv.p_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
+       |          / (n.nrm * piv.pn) DESC, piv.p_id ASC) AS rn
+       |    FROM n, piv)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, qn, p_id AS cell FROM (
+       |    SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn, piv.p_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
+       |          / (n.nrm * piv.pn) DESC, piv.p_id ASC) AS rn
+       |    FROM n, piv WHERE n.vec_id < 10)
+       |  WHERE rn <= 2)
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))
+       |      / (p.qn * c.nrm) AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |      list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))
+       |        / (p.qn * c.nrm) DESC, c.vec_id ASC) AS rank
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id)
+       |WHERE rank <= 5""".stripMargin
 }

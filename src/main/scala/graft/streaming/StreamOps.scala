@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming window/join combinators — the Structured Streaming extension
+  * surface beyond the reference (SURVEY.md §2.3/§2.5 rows marked absent
+  * there). All are thin declarative wrappers: watermarks drive state
+  * eviction, windows are event-time buckets, the stream-stream join keeps
+  * both sides' state bounded by watermark + interval.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation (works on batch and streaming
+    * frames alike).
+    */
+  def tumblingCount(df: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  /** Session windows: gap-based event-time sessions per key. */
+  def sessionCount(df: DataFrame, tsCol: String, keyCol: String,
+                   gap: String, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
+  /** Stream-stream inner join with an event-time interval bound: right
+    * rows match left rows within [left.ts - before, left.ts + after].
+    * Watermarks + the interval condition let Spark expire both sides'
+    * state (unbounded joins never expire — always bound the interval).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, "__rk") // avoid ambiguous key in the output
+    l.join(r,
+      col(key) === col("__rk") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+      .drop("__rk")
+  }
+}
