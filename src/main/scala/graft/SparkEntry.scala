@@ -31,6 +31,9 @@ object SparkEntry {
     "q9_distinct_agg" -> (Relational.q9DistinctAgg _),
     "q10_cube" -> (Relational.q10Cube _),
     "q11_above_avg" -> (Relational.q11AboveAvg _),
+    "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
+    "q13_date_agg" -> (Relational.q13DateAgg _),
+    "q14_string_fns" -> (Relational.q14StringFns _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
     "ev_filter" -> (EventOps.evFilter _),
     "ev_json" -> (EventOps.evJson _),
@@ -75,6 +78,9 @@ object SparkEntry {
     "q9_distinct_agg" -> Relational.q9DistinctAggSql,
     "q10_cube" -> Relational.q10CubeSql,
     "q11_above_avg" -> Relational.q11AboveAvgSql,
+    "q12_conditional_agg" -> Relational.q12ConditionalAggSql,
+    "q13_date_agg" -> Relational.q13DateAggSql,
+    "q14_string_fns" -> Relational.q14StringFnsSql,
     "ev_filter" -> EventOps.evFilterSql,
     "ev_json" -> EventOps.evJsonSql,
     "ev_dedup_window" -> EventOps.evDedupWindowSql,

@@ -277,4 +277,55 @@ object Relational {
       |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
       |                            WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** q12: conditional aggregation (promo revenue share, TPC-H Q14 shape) —
+    * CASE WHEN inside SUM, part side broadcast.
+    */
+  def q12ConditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), revenue)
+          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+        round(sum(revenue), 2).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q12ConditionalAggSql: String =
+    """SELECT p_brand,
+      |  round(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  /** q13: date-part aggregation — year/month extraction and grouping. */
+  def q13DateAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+
+  val q13DateAggSql: String =
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** q14: string functions — regexp extraction, casing, length, LIKE. */
+  def q14StringFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 3)).as("prefix"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        length(col("p_name")).as("name_len"))
+
+  val q14StringFnsSql: String =
+    """SELECT p_partkey, upper(substr(p_name, 1, 3)) AS prefix,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  length(p_name) AS name_len
+      |FROM part WHERE p_name LIKE '%a%'""".stripMargin
 }
