@@ -34,6 +34,9 @@ object SparkEntry {
     "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
     "q13_date_agg" -> (Relational.q13DateAgg _),
     "q14_string_fns" -> (Relational.q14StringFns _),
+    "q15_percentile" -> (Relational.q15Percentile _),
+    "q16_grouping_sets" -> (Relational.q16GroupingSets _),
+    "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
     "ev_filter" -> (EventOps.evFilter _),
     "ev_json" -> (EventOps.evJson _),
@@ -81,6 +84,9 @@ object SparkEntry {
     "q12_conditional_agg" -> Relational.q12ConditionalAggSql,
     "q13_date_agg" -> Relational.q13DateAggSql,
     "q14_string_fns" -> Relational.q14StringFnsSql,
+    "q15_percentile" -> Relational.q15PercentileSql,
+    "q16_grouping_sets" -> Relational.q16GroupingSetsSql,
+    "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_filter" -> EventOps.evFilterSql,
     "ev_json" -> EventOps.evJsonSql,
     "ev_dedup_window" -> EventOps.evDedupWindowSql,

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Pipelines
+
+/** Streaming throughput bench (BASELINE.md protocol): replay the `events`
+  * table as Splunk-style JSON log frames through T1 (filter) and T2 (exact
+  * dedup) and report records/s per pipeline, one JSON line.
+  *
+  * The reference processes one record at a time on one stream thread; here
+  * each micro-batch is a vectorized, codegen'd job across local cores —
+  * the comparison the "matches-or-beats single-node throughput" goal asks
+  * for.
+  */
+object StreamBench {
+  case class Frame(key: String, value: String, timestamp: Timestamp)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Materialize the events table as JSON LogEvent frames (driver-side
+    // once; the bench measures the pipelines, not the generator).
+    val frames: Array[Frame] = Tables.events(spark, sfDir)
+      .select(
+        col("event_id").cast("string").as("key"),
+        to_json(struct(
+          when(col("event_type") === "error",
+            struct(concat(lit("E"), col("event_id") % 1000).as("exception_class"),
+              lit("msg").as("exception_message"), lit("st").as("stacktrace")))
+            .otherwise(lit(null)).as("exception"),
+          lit(1).as("version"),
+          concat(lit("host"), col("user_id")).as("source_host"),
+          col("props").as("message"),
+          lit("main").as("thread_name"),
+          col("ts").cast("string").as("timestamp"),
+          when(col("event_type") === "error", "ERROR").otherwise("INFO").as("level"),
+          lit("app").as("logger_name"))).as("value"),
+        timestamp_micros(expr("ts div 1000")).cast("timestamp").as("timestamp"))
+      .as[Frame].collect()
+
+    def run(name: String, pipeline: DataFrame => DataFrame): (String, Double, Long) = {
+      val input = MemoryStream[Frame]
+      val qn = s"sb_$name"
+      val q = pipeline(input.toDF()).writeStream.format("memory")
+        .queryName(qn).outputMode("append").start()
+      // warm-up batch
+      input.addData(frames.take(1000).toSeq); q.processAllAvailable()
+      val t0 = System.nanoTime()
+      frames.drop(1000).grouped(49500).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.table(qn).count()
+      q.stop()
+      (name, (frames.length - 1000) / secs, outRows)
+    }
+
+    val t1 = run("t1_filter", df => Pipelines.filterPipeline(df))
+    val t2 = run("t2_dedup", df => Pipelines.dedupPipeline(df))
+    val qs = Seq(t1, t2).map { case (n, rps, rows) =>
+      s""""$n":{"records_per_sec":${rps.round},"out_rows":$rows}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_throughput","unit":"records/sec","pipelines":$qs,"n_records":${frames.length},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -328,4 +328,38 @@ object Relational {
       |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
       |  length(p_name) AS name_len
       |FROM part WHERE p_name LIKE '%a%'""".stripMargin
+
+  /** q15: exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`).
+    */
+  def q15Percentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
+  val q15PercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q16: explicit grouping sets (finer control than rollup/cube). */
+  def q16GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
+  val q16GroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 }

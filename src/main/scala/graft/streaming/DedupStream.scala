@@ -35,6 +35,11 @@ import graft.model.LogRecord
   * whereas Kafka Streams processes arbitrarily late records. Within the
   * watermark the two-sided probe is reproduced by comparing |t_stored − t|.
   */
+/** Slim carrier for the high-throughput frame path: raw payload forwarded
+  * verbatim, only the dedup id and event time materialized.
+  */
+case class SlimFrame(key: String, value: String, id: String, ts_us: Long)
+
 object DedupStream {
 
   val DefaultWindowUs: Long = 10L * 60 * 1000000 // 10 min, reference :135
@@ -43,23 +48,25 @@ object DedupStream {
   private def idOf(r: LogRecord): String =
     r.event.flatMap(_.exception).flatMap(_.exception_class).orNull
 
-  /** Per-key, per-micro-batch transition function. Events in a batch are
-    * processed in event-time order (the reference sees them in offset
-    * order; for in-order streams these agree — out-of-order records within
-    * a batch are handled deterministically by the sort).
+  /** Per-key, per-micro-batch transition function (generic in the carrier
+    * type; `tsOf` extracts event-time µs). Events in a batch are processed
+    * in event-time order (the reference sees them in offset order; for
+    * in-order streams these agree — out-of-order records within a batch
+    * are handled deterministically by the sort).
     */
-  private def transition(windowUs: Long, retentionUs: Long)(
-      id: String, rows: Iterator[LogRecord],
-      state: GroupState[Long]): Iterator[LogRecord] = {
+  private def transition[T](windowUs: Long, retentionUs: Long, tsOf: T => Long)(
+      id: String, rows: Iterator[T],
+      state: GroupState[Long]): Iterator[T] = {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
-      val sorted = rows.toSeq.sortBy(_.event_time_us)
+      val sorted = rows.toSeq.sortBy(tsOf)
       var last: Option[Long] = state.getOption
       val out = sorted.iterator.filter { r =>
-        val isDup = last.exists(l => math.abs(r.event_time_us - l) <= windowUs / 2)
-        last = Some(r.event_time_us) // store/refresh in both branches (:77, :80)
+        val t = tsOf(r)
+        val isDup = last.exists(l => math.abs(t - l) <= windowUs / 2)
+        last = Some(t) // store/refresh in both branches (:77, :80)
         !isDup
       }.toVector
       last.foreach { l =>
@@ -95,8 +102,44 @@ object DedupStream {
     val deduped = hasId
       .groupByKey(idOf)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        transition(windowUs, retentionUs))
+        transition[LogRecord](windowUs, retentionUs, _.event_time_us))
     deduped.union(noId)
+  }
+
+  /** High-throughput frame-level dedup: the payload is forwarded verbatim
+    * (the reference's dedup never transforms values), so only the dedup id
+    * is parsed out of the JSON — Catalyst's `OptimizeJsonExprs` prunes the
+    * `from_json` to that single nested field — and nothing is re-encoded.
+    * Input: a Kafka-shaped frame (`key`, `value`, `timestamp`); output the
+    * same two columns, duplicates dropped.
+    */
+  def dedupFrames(frames: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                  windowUs: Long = DefaultWindowUs,
+                  retentionUs: Long = DefaultRetentionUs): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val decoded = frames
+      .withWatermark("timestamp", "10 minutes")
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        from_json(col("value").cast("string"), schema)
+          .getField("exception").getField("exception_class").as("id"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        col("timestamp"))
+    val hasId = decoded.filter(col("id").isNotNull)
+      // keep `timestamp` physically present so the watermark column reaches
+      // the stateful operator (the typed view ignores it)
+      .select(col("key"), col("value"), col("id"), col("ts_us"), col("timestamp"))
+      .as[SlimFrame]
+    val noId = decoded.filter(col("id").isNull)
+      .select(col("key"), col("value"))
+    val deduped = hasId
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        transition[SlimFrame](windowUs, retentionUs, _.ts_us))
+      .select(col("key"), col("value"))
+    deduped.unionByName(noId)
   }
 
   /** Tier-1 approximate dedup for arbitrary DataFrames: built-in

@@ -34,14 +34,13 @@ object Pipelines {
   def dedupPipeline(frames: DataFrame,
                     windowUs: Long = DedupStream.DefaultWindowUs,
                     retentionUs: Long = DedupStream.DefaultRetentionUs,
-                    mode: JsonCodec.Mode = JsonCodec.FailFast): DataFrame = {
-    val spark = frames.sparkSession
-    import spark.implicits._
-    val records = JsonCodec.decodeKafkaFrame(frames, LogEvent.schema, mode)
-      .as[LogRecord]
-    JsonCodec.encodeKafkaFrame(
-      DedupStream.dedupLogRecords(records, windowUs, retentionUs).toDF())
-  }
+                    mode: JsonCodec.Mode = JsonCodec.FailFast): DataFrame =
+    // frame-level path: payloads forwarded verbatim, only the dedup id is
+    // parsed (single-field JSON prune); the typed Dataset[LogRecord] path
+    // remains available via DedupStream.dedupLogRecords
+    DedupStream.dedupFrames(frames, LogEvent.schema, windowUs, retentionUs)
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
 }
 
 /** Kafka source/sink wiring (SURVEY.md §2.1 S1–S4) + properties-file config
