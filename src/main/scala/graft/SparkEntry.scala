@@ -36,6 +36,8 @@ object SparkEntry {
     "q14_string_fns" -> (Relational.q14StringFns _),
     "q15_percentile" -> (Relational.q15Percentile _),
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
+    "q17_udaf" -> (Relational.q17Udaf _),
+    "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
     "ev_filter" -> (EventOps.evFilter _),
@@ -86,6 +88,8 @@ object SparkEntry {
     "q14_string_fns" -> Relational.q14StringFnsSql,
     "q15_percentile" -> Relational.q15PercentileSql,
     "q16_grouping_sets" -> Relational.q16GroupingSetsSql,
+    "q17_udaf" -> Relational.q17UdafSql,
+    // q18_approx_distinct: HLL sketch values are engine-specific — no oracle (rows-only check)
     "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_filter" -> EventOps.evFilterSql,
     "ev_json" -> EventOps.evJsonSql,

@@ -25,6 +25,9 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // skip watermark-only micro-batches: throughput runs don't need the
+      // extra empty batch per trigger
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

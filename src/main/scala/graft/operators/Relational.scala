@@ -335,10 +335,13 @@ object Relational {
   def q15Percentile(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      // one percentile buffer for all three quantiles (3x less state than
+      // three separate aggregates)
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(col("l_returnflag"),
+        round(expr("ps[0]"), 4).as("p50"),
+        round(expr("ps[1]"), 4).as("p90"),
+        round(expr("ps[2]"), 4).as("p99"))
 
   val q15PercentileSql: String =
     """SELECT l_returnflag,
@@ -362,4 +365,31 @@ object Relational {
       |  round(sum(o_totalprice), 2) AS sum_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** q17: typed UDAF (`Aggregator`) — discount-weighted average price per
+    * return flag. Registered via `udaf()`; runs as partial+final
+    * aggregation like any built-in.
+    */
+  def q17Udaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4)
+        .as("wavg_price"))
+  }
+
+  val q17UdafSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q18: approximate distinct (HLL++) — value depends on Spark's sketch,
+    * so no cross-engine oracle; the driver records a rows-only check. The
+    * exact twin is q9.
+    */
+  def q18ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
 }
