@@ -54,7 +54,8 @@ object DedupStream {
     * in-order streams these agree — out-of-order records within a batch
     * are handled deterministically by the sort).
     */
-  private def transition[T](windowUs: Long, retentionUs: Long, tsOf: T => Long)(
+  private def transition[T](windowUs: Long, retentionUs: Long, tsOf: T => Long,
+                            streamTime: Boolean = false)(
       id: String, rows: Iterator[T],
       state: GroupState[Long]): Iterator[T] = {
     if (state.hasTimedOut) {
@@ -63,8 +64,13 @@ object DedupStream {
     } else {
       val sorted = rows.toSeq.sortBy(tsOf)
       var last: Option[Long] = state.getOption
+      var maxSeen: Long = Long.MinValue // stream-time axis (T2' mode)
       val out = sorted.iterator.filter { r =>
-        val t = tsOf(r)
+        // T2 (record time, reference KStreamDistinct.java:87) uses the
+        // record's own timestamp; T2' (stream time, _example.java:65) uses
+        // the max timestamp observed so far
+        maxSeen = math.max(maxSeen, tsOf(r))
+        val t = if (streamTime) maxSeen else tsOf(r)
         val isDup = last.exists(l => math.abs(t - l) <= windowUs / 2)
         last = Some(t) // store/refresh in both branches (:77, :80)
         !isDup
