@@ -35,6 +35,7 @@ object SparkEntry {
     "q13_date_agg" -> (Relational.q13DateAgg _),
     "q14_string_fns" -> (Relational.q14StringFns _),
     "q15_percentile" -> (Relational.q15Percentile _),
+    "q15_approx" -> (Relational.q15Approx _),
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
     "q17_udaf" -> (Relational.q17Udaf _),
     "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
@@ -57,6 +58,7 @@ object SparkEntry {
     "minhash_lsh_pairs" -> (DedupOps.minhashLshPairs _),
     "simhash_sig" -> (DedupOps.simhashSig _),
     "simhash_neardup" -> (DedupOps.simhashNeardup _),
+    "simhash_banded" -> (DedupOps.simhashBanded _),
     "ngram_jaccard_pairs" -> (DedupOps.ngramJaccardPairs _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
@@ -87,6 +89,8 @@ object SparkEntry {
     "q13_date_agg" -> Relational.q13DateAggSql,
     "q14_string_fns" -> Relational.q14StringFnsSql,
     "q15_percentile" -> Relational.q15PercentileSql,
+    // q15_approx: GK-sketch percentiles are engine-specific — rows-only check
+    // (accuracy vs the exact twin is asserted in RelationalSpec)
     "q16_grouping_sets" -> Relational.q16GroupingSetsSql,
     "q17_udaf" -> Relational.q17UdafSql,
     // q18_approx_distinct: HLL sketch values are engine-specific — no oracle (rows-only check)
@@ -106,6 +110,7 @@ object SparkEntry {
     "minhash_lsh_pairs" -> DedupOps.minhashLshPairsSql,
     "simhash_sig" -> DedupOps.simhashSigSql,
     "simhash_neardup" -> DedupOps.simhashNeardupSql,
+    "simhash_banded" -> DedupOps.simhashBandedSql,
     "ngram_jaccard_pairs" -> DedupOps.ngramJaccardPairsSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,

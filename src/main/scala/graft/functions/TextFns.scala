@@ -41,17 +41,26 @@ object TextFns {
   def tokensSql(col: String): String = s"split(${normTextSql(col)}, ' ')"
 
   /** Word w-shingles (w=3) over a token-array column name; yields the
-    * space-joined shingle strings (count = n-2 for n>=3 tokens).
+    * space-joined shingle strings (count = n-2 for n>=3 tokens; empty array
+    * below 3 tokens — guarded because Spark's `sequence(1, negative)`
+    * DESCENDS and `element_at(t, 0)` throws under ANSI mode, while the
+    * DuckDB oracle's `range()` returns an empty list).
     */
   def shingles3Sql(toksCol: String): String =
-    s"""transform(sequence(1, size($toksCol) - 2),
-       |  i -> concat(element_at($toksCol, i), ' ',
-       |              element_at($toksCol, i + 1), ' ',
-       |              element_at($toksCol, i + 2)))""".stripMargin
+    s"""IF(size($toksCol) >= 3,
+       |  transform(sequence(1, size($toksCol) - 2),
+       |    i -> concat(element_at($toksCol, i), ' ',
+       |                element_at($toksCol, i + 1), ' ',
+       |                element_at($toksCol, i + 2))),
+       |  CAST(array() AS ARRAY<STRING>))""".stripMargin
 
-  /** Character n-grams of a (pre-normalized) string column name. */
+  /** Character n-grams of a (pre-normalized) string column name; empty
+    * array for strings shorter than n (same guard rationale as shingles).
+    */
   def charGramsSql(strCol: String, n: Int): String =
-    s"array_distinct(transform(sequence(1, length($strCol) - ${n - 1}), i -> substring($strCol, i, $n)))"
+    s"IF(length($strCol) >= $n, " +
+      s"array_distinct(transform(sequence(1, length($strCol) - ${n - 1}), i -> substring($strCol, i, $n))), " +
+      "CAST(array() AS ARRAY<STRING>))"
 
   /** MinHash permutation constants: h_i(x) = (A_i·x + B_i) mod P over the
     * base h32. One md5 digest per element total, k cheap integer perms —

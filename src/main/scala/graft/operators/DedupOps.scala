@@ -92,31 +92,36 @@ object DedupOps {
     * bucket collisions, verified with exact shingle Jaccard. Emitted:
     * every candidate pair with its exact similarity (thresholding is the
     * caller's policy decision).
+    *
+    * Shuffle discipline (the 100 TB-critical part): the band self-join
+    * carries ONLY (band, bh, doc_id) — 20 bytes/row — never the shingle
+    * sets. Candidate id pairs are deduped first, then each side joins its
+    * `shset` back exactly once for verification. The naive alternative
+    * (shsets riding the band exchange) moves 4 bands × 2 sides ≈ 8× the
+    * document-shingle bytes through the shuffle.
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = withSignature(Tables.documents(spark, sfDir))
-      .withColumn("shset", array_distinct(col("sh")))
-      .select(col("doc_id"), col("shset"),
-        expr(s"""array(${(0 until 4).map(b =>
-          s"named_struct('band', $b, 'bh', ${h32Sql(s"concat('$b|', m${2 * b}, ',', m${2 * b + 1})")})")
-          .mkString(", ")})""").as("bands"))
-    val exploded = sig.select(col("doc_id"), col("shset"),
-      explode(col("bands")).as("bd"))
-      .select(col("doc_id"), col("shset"),
-        col("bd.band").as("band"), col("bd.bh").as("bh"))
-    val a = exploded.select(col("doc_id").as("a_id"), col("shset").as("a_sh"),
-      col("band"), col("bh"))
-    val b = exploded.select(col("doc_id").as("b_id"), col("shset").as("b_sh"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    val shs = sig.select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    val exploded = sig.select(col("doc_id"),
+      explode(expr(s"""array(${(0 until 4).map(b =>
+        s"named_struct('band', $b, 'bh', ${h32Sql(s"concat('$b|', m${2 * b}, ',', m${2 * b + 1})")})")
+        .mkString(", ")})""")).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val a = exploded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+    val b = exploded.select(col("doc_id").as("b_id"), col("band"), col("bh"))
+    val cand = a.join(b, Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          (size(col("a_sh")) + size(col("b_sh"))
-            - size(array_intersect(col("a_sh"), col("b_sh")))))
-          .as("jacc"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
-      .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+    cand
+      .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+      .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          (size(col("a_sh")) + size(col("b_sh"))
+            - size(array_intersect(col("a_sh"), col("b_sh")))), 4)
+          .as("jacc"))
   }
 
   val minhashLshPairsSql: String =
@@ -189,6 +194,45 @@ object DedupOps {
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  /** SimHash near-dup pairs, banded — the 100 TB-scale plan. The 32-bit
+    * signature splits into 4 disjoint 8-bit chunks; by pigeonhole, any
+    * pair with Hamming distance ≤ 3 shares at least one chunk verbatim, so
+    * an equijoin on (chunk_idx, chunk_value) finds EVERY such pair with no
+    * blocking key and no quadratic blow-up: bucket occupancy is
+    * ~N/(4·256)·collision-rate, not N/|langs|. Same exact result set as a
+    * global all-pairs Hamming scan (which is what the DuckDB oracle runs).
+    */
+  def simhashBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val sim = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
+      .select(col("doc_id"), expr(simhash32Sql("th")).as("simhash"))
+      .persist() // barrier: the 32-fold sketch is computed once, not per side
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), j -> named_struct(" +
+          "'ci', j, 'cv', shiftright(simhash, 8 * j) & 255))")).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunks.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+      col("ci"), col("cv"))
+    val b = chunks.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct() // a pair may agree on several chunks
+  }
+
+  val simhashBandedSql: String =
+    simhashCte +
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   /** Exact character-4-gram Jaccard pairs within a (lang × length-bucket)

@@ -113,9 +113,9 @@ object EventOps {
 
   val evSessionizeSql: String =
     """SELECT event_id, user_id,
-      |  sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER (
+      |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |FROM (
       |  SELECT event_id, user_id, ts,
       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (

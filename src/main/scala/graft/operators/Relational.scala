@@ -350,6 +350,22 @@ object Relational {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q15_approx: the 100 TB-scale percentile path. Exact `percentile`
+    * (q15) materializes every group value in its aggregation buffer — an
+    * executor-memory bomb over lineitem at scale — so the production form
+    * is `approx_percentile` (GK sketch, bounded memory, mergeable across
+    * partials). Sketch outputs are engine-specific → rows-only driver
+    * check; accuracy vs the exact twin is asserted in the test suite.
+    */
+  def q15Approx(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+      .select(col("l_returnflag"),
+        round(expr("ps[0]"), 4).as("p50"),
+        round(expr("ps[1]"), 4).as("p90"),
+        round(expr("ps[2]"), 4).as("p99"))
+
   /** q16: explicit grouping sets (finer control than rollup/cube). */
   def q16GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)

@@ -64,7 +64,13 @@ object DedupStream {
     } else {
       val sorted = rows.toSeq.sortBy(tsOf)
       var last: Option[Long] = state.getOption
-      var maxSeen: Long = Long.MinValue // stream-time axis (T2' mode)
+      // T2' stream-time axis: max timestamp observed so far for this key.
+      // Scoped per key (the natural unit in a key-partitioned engine; the
+      // reference's is per topic-partition, which co-partitions several
+      // keys — documented divergence). Stored state IS a stream-time value
+      // in this mode (refreshed on every record), so it seeds the axis
+      // across micro-batches.
+      var maxSeen: Long = if (streamTime) last.getOrElse(Long.MinValue) else Long.MinValue
       val out = sorted.iterator.filter { r =>
         // T2 (record time, reference KStreamDistinct.java:87) uses the
         // record's own timestamp; T2' (stream time, _example.java:65) uses
@@ -90,10 +96,18 @@ object DedupStream {
   /** Dedup a LogRecord stream (or batch Dataset — same code path, state
     * machinery inert). Null-id records bypass the stateful operator
     * entirely (no shuffle for them beyond the union).
+    *
+    * `streamTime = false` is T2 (record time, reference
+    * `KStreamDistinct.java:87`); `streamTime = true` is T2' (stream time =
+    * max timestamp observed so far per key, reference
+    * `KStreamDistinct_example.java:65`) — under out-of-order input the two
+    * modes disagree (a late record is compared/stored at stream time, not
+    * its own time).
     */
   def dedupLogRecords(ds: Dataset[LogRecord],
                       windowUs: Long = DefaultWindowUs,
-                      retentionUs: Long = DefaultRetentionUs): Dataset[LogRecord] = {
+                      retentionUs: Long = DefaultRetentionUs,
+                      streamTime: Boolean = false): Dataset[LogRecord] = {
     import ds.sparkSession.implicits._
     val withTs = ds
       .withColumn("__ts", timestamp_micros(col("event_time_us")))
@@ -108,7 +122,7 @@ object DedupStream {
     val deduped = hasId
       .groupByKey(idOf)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        transition[LogRecord](windowUs, retentionUs, _.event_time_us))
+        transition[LogRecord](windowUs, retentionUs, _.event_time_us, streamTime))
     deduped.union(noId)
   }
 
@@ -121,7 +135,9 @@ object DedupStream {
     */
   def dedupFrames(frames: DataFrame, schema: org.apache.spark.sql.types.StructType,
                   windowUs: Long = DefaultWindowUs,
-                  retentionUs: Long = DefaultRetentionUs): DataFrame = {
+                  retentionUs: Long = DefaultRetentionUs,
+                  streamTime: Boolean = false,
+                  mode: graft.serde.JsonCodec.Mode = graft.serde.JsonCodec.FailFast): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
     val decoded = frames
@@ -129,7 +145,8 @@ object DedupStream {
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
-        from_json(col("value").cast("string"), schema)
+        from_json(col("value").cast("string"), schema,
+          Map("mode" -> mode.sparkMode))
           .getField("exception").getField("exception_class").as("id"),
         unix_micros(col("timestamp")).as("ts_us"),
         col("timestamp"))
@@ -143,7 +160,7 @@ object DedupStream {
     val deduped = hasId
       .groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        transition[SlimFrame](windowUs, retentionUs, _.ts_us))
+        transition[SlimFrame](windowUs, retentionUs, _.ts_us, streamTime))
       .select(col("key"), col("value"))
     deduped.unionByName(noId)
   }

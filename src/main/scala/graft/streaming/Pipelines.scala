@@ -34,11 +34,14 @@ object Pipelines {
   def dedupPipeline(frames: DataFrame,
                     windowUs: Long = DedupStream.DefaultWindowUs,
                     retentionUs: Long = DedupStream.DefaultRetentionUs,
-                    mode: JsonCodec.Mode = JsonCodec.FailFast): DataFrame =
+                    mode: JsonCodec.Mode = JsonCodec.FailFast,
+                    streamTime: Boolean = false): DataFrame =
     // frame-level path: payloads forwarded verbatim, only the dedup id is
     // parsed (single-field JSON prune); the typed Dataset[LogRecord] path
-    // remains available via DedupStream.dedupLogRecords
-    DedupStream.dedupFrames(frames, LogEvent.schema, windowUs, retentionUs)
+    // remains available via DedupStream.dedupLogRecords. streamTime=true
+    // selects the T2' axis (reference KStreamDistinct_example.java:65).
+    DedupStream.dedupFrames(frames, LogEvent.schema, windowUs, retentionUs,
+        streamTime, mode)
       .select(col("key").cast("binary").as("key"),
         col("value").cast("binary").as("value"))
 }

@@ -50,4 +50,28 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges")
   }
+
+  test("minhash_lsh_pairs band exchange carries only (doc_id, band, bh) — no shingle sets") {
+    // force shuffle joins so the band exchange is visible in the plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val phys = SparkEntry.queries("minhash_lsh_pairs")(spark, sf)
+        .queryExecution.executedPlan
+      val bandShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("band") => s
+      }
+      assert(bandShuffles.nonEmpty, "expected a shuffle partitioned on (band, bh)")
+      bandShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c.contains("sh")),
+          s"shingle sets must not ride the band exchange: $cols")
+        assert(cols.length <= 3, s"band exchange should be slim: $cols")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

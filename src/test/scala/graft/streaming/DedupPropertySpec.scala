@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.SparkSpec
 import graft.model.{ExceptionInfo, LogEvent, LogRecord}
@@ -65,6 +66,76 @@ class DedupPropertySpec extends SparkSpec {
         .sorted(Ordering.by((x: (Option[String], Long)) => (x._1.getOrElse(""), x._2)))
       got == expect
     })
+  }
+
+  /** T2' transcription (reference `KStreamDistinct_example.java:65,94,97`):
+    * the dedup axis is stream time — the max timestamp observed so far —
+    * compared against and stored in place of record time. Scope here is
+    * per key (the engine's unit of state partitioning; the reference's is
+    * the topic partition — documented divergence).
+    */
+  private def referenceModelStreamTime(events: Seq[LogRecord]): Seq[LogRecord] = {
+    val store = scala.collection.mutable.Map[String, Long]()
+    val streamT = scala.collection.mutable.Map[String, Long]()
+    events.filter { r =>
+      r.event.flatMap(_.exception).flatMap(_.exception_class) match {
+        case None => true
+        case Some(id) =>
+          val st = math.max(streamT.getOrElse(id, Long.MinValue), r.event_time_us)
+          streamT(id) = st
+          val dup = store.get(id).exists(l => math.abs(st - l) <= WindowUs / 2)
+          store(id) = st
+          !dup
+      }
+    }
+  }
+
+  test("streaming T2'/T2 match their reference models on seeded out-of-order multi-batch input") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val Base = 86400L * 1000000 // past the epoch-0 initial watermark
+    val Min = 60L * 1000000
+    val rnd = new scala.util.Random(42)
+
+    // 6 seeded scenarios: 2-4 batches, each internally time-ordered, batch
+    // start up to 8 min BEFORE the running max (out of order, but inside
+    // the 10-min watermark so no row is late-dropped).
+    val scenarios = (0 until 6).map { _ =>
+      var maxTs = Base
+      (0 until 2 + rnd.nextInt(3)).map { _ =>
+        val start = math.max(Base, maxTs + (rnd.nextLong(16 * Min) - 8 * Min))
+        var t = start
+        val batch = (0 until 1 + rnd.nextInt(8)).map { _ =>
+          t += rnd.nextLong(3 * Min)
+          rec(Some("A"), t)
+        }
+        maxTs = math.max(maxTs, t)
+        batch
+      }
+    }
+
+    def runStreaming(batches: Seq[Seq[LogRecord]], streamTime: Boolean): Seq[Long] = {
+      val input = MemoryStream[LogRecord]
+      val out = DedupStream.dedupLogRecords(input.toDS(), streamTime = streamTime)
+      val qn = s"prop_st_${System.nanoTime()}"
+      val q = out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(qn).selectExpr("event_time_us").collect().map(_.getLong(0)).toSeq.sorted
+      } finally q.stop()
+    }
+
+    scenarios.foreach { batches =>
+      // processing order inside the operator = event-time sort per batch —
+      // feed the single-threaded models the same order
+      val arrival = batches.flatMap(_.sortBy(_.event_time_us))
+      val expectT2 = referenceModel(arrival).map(_.event_time_us).sorted
+      val expectT2p = referenceModelStreamTime(arrival).map(_.event_time_us).sorted
+      assert(runStreaming(batches, streamTime = false) == expectT2, s"T2 mismatch: $batches")
+      assert(runStreaming(batches, streamTime = true) == expectT2p, s"T2' mismatch: $batches")
+    }
   }
 
   test("batch dedup twin (EventOps.dedupWindowed) agrees on single-key in-order input") {

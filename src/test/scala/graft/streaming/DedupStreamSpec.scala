@@ -23,12 +23,13 @@ class DedupStreamSpec extends SparkSpec {
         logger_name = Some("l"))),
       Base + tUs)
 
-  private def runStreaming(batches: Seq[Seq[LogRecord]]): Seq[(String, Long)] = {
+  private def runStreaming(batches: Seq[Seq[LogRecord]],
+                           streamTime: Boolean = false): Seq[(String, Long)] = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[LogRecord]
-    val out = DedupStream.dedupLogRecords(input.toDS()).toDF()
+    val out = DedupStream.dedupLogRecords(input.toDS(), streamTime = streamTime).toDF()
     val qname = s"dedup_out_${System.nanoTime()}"
     val query = out.writeStream.format("memory").queryName(qname)
       .outputMode("append").start()
@@ -80,6 +81,21 @@ class DedupStreamSpec extends SparkSpec {
   test("out-of-order within a batch is processed in event-time order") {
     val got = runStreaming(Seq(Seq(rec("A", 4 * Min), rec("A", 0))))
     assert(got == Seq(("A", Base)))
+  }
+
+  test("T2' stream-time mode: late record dedups at stream time, not record time") {
+    // A@10min, then A@4min late in the next batch (within the watermark).
+    // Record time (T2, reference KStreamDistinct.java:87): |4−10| = 6 min
+    // > window/2 → the late record EMITS. Stream time (T2',
+    // _example.java:65): the late record is evaluated at the max observed
+    // time (10 min), |10−10| = 0 ≤ window/2 → SUPPRESSED. Provable
+    // divergence between the two modes on identical input.
+    val batches = Seq(Seq(rec("A", 10 * Min)), Seq(rec("A", 4 * Min)))
+    val recordTime = runStreaming(batches)
+    val streamTime = runStreaming(batches, streamTime = true)
+    assert(recordTime.toSet ==
+      Set(("A", Base + 10 * Min), ("A", Base + 4 * Min)), s"T2: $recordTime")
+    assert(streamTime == Seq(("A", Base + 10 * Min)), s"T2': $streamTime")
   }
 
   test("batch Dataset runs through the same operator") {

@@ -48,4 +48,47 @@ class DedupTWSSpec extends SparkSpec {
       }
     }
   }
+
+  test("retention expiry drops state: id re-emits after quiescence (reference :135-141)") {
+    // window = 40 min (±20 suppression), retention = 10 min — so expiry is
+    // OBSERVABLE inside the suppression window: without the event-time
+    // timer dropping state, A@20min (|20−0| ≤ 20) would be suppressed.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val input = MemoryStream[LogRecord]
+    val out = DedupStreamTWS.dedupLogRecords(input.toDS(),
+      windowUs = 40 * Min, retentionUs = 10 * Min).toDF()
+    val qn = s"tws_ret_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      input.addData(Seq(rec("A", 0), rec("C", 0)))          // both novel → emit
+      q.processAllAvailable()
+      // C refreshes its state (watermark still low, timer not yet fired);
+      // B advances the watermark to 25−10 = 15 min > A's 10-min expiry
+      input.addData(Seq(rec("C", 15 * Min), rec("B", 25 * Min)))
+      q.processAllAvailable()
+      input.addData(Seq(rec("D", 26 * Min)))                // timer batch: A expires, C (refreshed) survives
+      q.processAllAvailable()
+      // A re-emits (state dropped after quiescence); C stays suppressed
+      // (|20−15| = 5 ≤ 20 against its refreshed, still-live state)
+      input.addData(Seq(rec("A", 20 * Min), rec("C", 20 * Min)))
+      q.processAllAvailable()
+      val got = spark.table(qn)
+        .selectExpr("event.exception.exception_class", "event_time_us").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got.filter(_._1 == "A").map(_._2).toSet == Set(Base, Base + 20 * Min),
+        s"A must re-emit after retention quiescence: $got")
+      assert(got.filter(_._1 == "C").map(_._2) == Seq(Base),
+        s"refreshed C must stay suppressed: $got")
+      assert(got.count(_._1 == "B") == 1 && got.count(_._1 == "D") == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
