@@ -68,21 +68,31 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
 
-  /** Random-hyperplane LSH bucket id: 6 sign bits of md5-derived
+  /** Random-hyperplane LSH bucket id: `planes` sign bits of md5-derived
     * projections (component p,i = (h32('p{p}_{i}') % 2001 - 1000)/1000).
+    * Plane count is the scale knob: buckets = 2^planes must grow with the
+    * corpus so occupancy (≈ N/2^planes) stays bounded — 6 suits the test
+    * corpus; a 100 TB corpus wants 16–24 (plus multi-probe for recall).
+    * Buckets are prefix-compatible: the p-plane bucket is the low p bits
+    * of the (p+k)-plane bucket, so recall is monotone in plane count
+    * (asserted in AccuracySpec).
     */
-  private val bucketSql: String =
-    s"""aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) -> acc +
+  private def bucketSql(planes: Int): String =
+    s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc +
        |  IF(aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), (a, i) ->
        |       a + element_at(v, i + 1) *
        |           ((${h32Sql("concat('p', p, '_', i)")} % 2001 - 1000) / 1000.0)) > 0,
        |     shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin
 
   /** LSH-bucketed near-duplicate pairs, exact-cosine-verified (>= 0.3). */
-  def embNeardupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def embNeardupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    embNeardupLsh(spark, sfDir, planes = 6)
+
+  def embNeardupLsh(spark: SparkSession, sfDir: String, planes: Int): DataFrame = {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
-      .withColumn("bucket", expr(bucketSql))
+      .withColumn("bucket",
+        if (planes == 0) lit(0L) else expr(bucketSql(planes)))
       .persist() // barrier: 384 digests/row computed once, not per join side
     val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("bucket"))
@@ -121,15 +131,23 @@ object VectorOps {
     * corpus vs brute force. Real deployments train pivots with k-means —
     * the query plan is identical.
     */
-  def embIvfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def embIvfKnn(spark: SparkSession, sfDir: String): DataFrame =
+    embIvfKnn(spark, sfDir, cells = 16, nprobe = 2)
+
+  /** `cells` and `nprobe` are the scale knobs: cells ~ sqrt(corpus) keeps
+    * inverted lists bounded (16 suits the test corpus; millions at
+    * 100 TB), nprobe trades probe cost for recall — probing all cells
+    * degenerates to exact brute force (asserted in AccuracySpec).
+    */
+  def embIvfKnn(spark: SparkSession, sfDir: String, cells: Int, nprobe: Int): DataFrame = {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("v")).persist()
-    val piv = e.filter(col("vec_id") < 16)
+    val piv = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("pcos").desc, col("p_id").asc)
-    val cells = e.join(broadcast(piv), lit(true))
+    val cellAssign = e.join(broadcast(piv), lit(true))
       .withColumn("pcos", expr("cosine_sim(v, pv)"))
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
@@ -141,11 +159,11 @@ object VectorOps {
       .join(broadcast(piv), lit(true))
       .withColumn("pcos", expr("cosine_sim(qv, pv)"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qv"), col("p_id").as("cell"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(cells, Seq("cell"))
+    probes.join(cellAssign, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", expr("cosine_sim(qv, v)"))
       .withColumn("rank", row_number().over(wTop))

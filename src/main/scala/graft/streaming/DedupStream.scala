@@ -40,6 +40,13 @@ import graft.model.LogRecord
   */
 case class SlimFrame(key: String, value: String, id: String, ts_us: Long)
 
+/** Carrier for the hot-key pre-suppression path: event time rides as a
+  * typed field so the watermark can be (re)applied after the
+  * `mapPartitions` boundary (typed maps drop column metadata).
+  */
+case class MarkedFrame(key: String, value: String, id: String, ts_us: Long,
+                       timestamp: java.sql.Timestamp)
+
 object DedupStream {
 
   val DefaultWindowUs: Long = 10L * 60 * 1000000 // 10 min, reference :135
@@ -137,11 +144,11 @@ object DedupStream {
                   windowUs: Long = DefaultWindowUs,
                   retentionUs: Long = DefaultRetentionUs,
                   streamTime: Boolean = false,
-                  mode: graft.serde.JsonCodec.Mode = graft.serde.JsonCodec.FailFast): DataFrame = {
+                  mode: graft.serde.JsonCodec.Mode = graft.serde.JsonCodec.FailFast,
+                  preSuppress: Boolean = false): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
     val decoded = frames
-      .withWatermark("timestamp", "10 minutes")
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
@@ -150,19 +157,69 @@ object DedupStream {
           .getField("exception").getField("exception_class").as("id"),
         unix_micros(col("timestamp")).as("ts_us"),
         col("timestamp"))
-    val hasId = decoded.filter(col("id").isNotNull)
-      // keep `timestamp` physically present so the watermark column reaches
-      // the stateful operator (the typed view ignores it)
-      .select(col("key"), col("value"), col("id"), col("ts_us"), col("timestamp"))
-      .as[SlimFrame]
     val noId = decoded.filter(col("id").isNull)
       .select(col("key"), col("value"))
-    val deduped = hasId
-      .groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        transition[SlimFrame](windowUs, retentionUs, _.ts_us, streamTime))
-      .select(col("key"), col("value"))
+    val deduped =
+      if (preSuppress) {
+        // Hot-key path: the dedup id is low-cardinality (the reference keys
+        // on exception_class), so the stateful shuffle concentrates hot ids
+        // on single tasks. Records that are provably duplicates already
+        // within their input partition forward as payload-free REFRESH
+        // MARKERS (value = null): their timestamp must still reach the
+        // state (suppressed duplicates extend the window — rocking-horse),
+        // but their payload bytes — the bulk of the shuffle — need not.
+        // See SCALE.md §dedup-skew for why outright dropping them would be
+        // incorrect.
+        decoded.filter(col("id").isNotNull)
+          .select(col("key"), col("value"), col("id"), col("ts_us"), col("timestamp"))
+          .as[MarkedFrame]
+          .mapPartitions(markLocalDups(windowUs / 2))
+          .withWatermark("timestamp", "10 minutes")
+          .groupByKey(_.id)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+            transition[MarkedFrame](windowUs, retentionUs, _.ts_us, streamTime))
+          .select(col("key"), col("value"))
+          // markers can only surface if their strictly-earlier witness was
+          // dropped as late data; in reference semantics (no watermark)
+          // they are duplicates, so suppress them here too
+          .filter(col("value").isNotNull)
+      } else {
+        decoded.filter(col("id").isNotNull)
+          .withWatermark("timestamp", "10 minutes")
+          // keep `timestamp` physically present so the watermark column
+          // reaches the stateful operator (the typed view ignores it)
+          .select(col("key"), col("value"), col("id"), col("ts_us"), col("timestamp"))
+          .as[SlimFrame]
+          .groupByKey(_.id)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+            transition[SlimFrame](windowUs, retentionUs, _.ts_us, streamTime))
+          .select(col("key"), col("value"))
+      }
     deduped.unionByName(noId)
+  }
+
+  /** Per-input-partition pre-suppression (map-side "combine" for dedup):
+    * a record with a strictly-earlier same-id record within window/2 IN
+    * THE SAME PARTITION is a duplicate under any global interleaving (its
+    * global predecessor can only be closer), so its payload is elided —
+    * value = null — while its timestamp is forwarded as a refresh marker.
+    * Records are NOT dropped: refresh-on-duplicate makes suppression
+    * non-associative (a dropped duplicate loses its window extension).
+    * Tracking one max-timestamp per id bounds memory at |live ids per
+    * partition| and catches the in-order duplicate floods that cause the
+    * skew; out-of-order records simply pass unmarked (correctness never
+    * depends on marking).
+    */
+  private def markLocalDups(halfWindowUs: Long)(
+      it: Iterator[MarkedFrame]): Iterator[MarkedFrame] = {
+    val maxSeen = scala.collection.mutable.HashMap.empty[String, Long]
+    it.map { f =>
+      val prior = maxSeen.get(f.id)
+      if (prior.forall(_ < f.ts_us)) maxSeen.update(f.id, f.ts_us)
+      if (prior.exists(q => q < f.ts_us && f.ts_us - q <= halfWindowUs))
+        f.copy(value = null)
+      else f
+    }
   }
 
   /** Tier-1 approximate dedup for arbitrary DataFrames: built-in

@@ -112,6 +112,7 @@ object FilterApp {
 object DedupApp {
   def main(args: Array[String]): Unit = {
     val props = KafkaIO.loadProperties(args(0))
+    graft.io.KafkaAdmin.createTopics(props) // S6 parity (reference :200, :155-170)
     val spark = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -37,6 +37,49 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: recall monotone in nprobe; probing all cells == exact brute force") {
+    import graft.operators.VectorOps
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exact = VectorOps.embKnn(spark, sf)
+    val exactPairs = pairs(exact)
+    def recall(np: Int) =
+      pairs(VectorOps.embIvfKnn(spark, sf, cells = 16, nprobe = np))
+        .intersect(exactPairs).size.toDouble / exactPairs.size
+    val r2 = recall(2)
+    val r4 = recall(4)
+    info(f"IVF recall: nprobe=2 → $r2%.3f, nprobe=4 → $r4%.3f")
+    // a true top-5 neighbor in the candidate set can never be displaced
+    // (at most 4 vectors beat it globally), so recall grows with nprobe
+    assert(r4 >= r2, s"recall must be monotone in nprobe: $r2 vs $r4")
+    assert(r2 >= 0.5, s"nprobe=2 recall too low: $r2")
+    // probing every cell = scoring the whole corpus = brute force, exactly
+    assert(triples(VectorOps.embIvfKnn(spark, sf, cells = 16, nprobe = 16)) ==
+      triples(exact))
+  }
+
+  test("LSH ANN: recall monotone in plane count; 0 planes == exhaustive pair scan") {
+    import graft.operators.VectorOps
+    def pairs(planes: Int) = VectorOps.embNeardupLsh(spark, sf, planes)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exhaustive = pairs(0) // single bucket → all-pairs ground truth
+    val p4 = pairs(4)
+    val p6 = pairs(6)
+    assert(exhaustive.nonEmpty)
+    // buckets are prefix-compatible: colliding on p planes implies
+    // colliding on any prefix → pair sets nest, recall monotone
+    assert(p6.subsetOf(p4) && p4.subsetOf(exhaustive))
+    val r4 = p4.size.toDouble / exhaustive.size
+    val r6 = p6.size.toDouble / exhaustive.size
+    info(f"LSH recall: planes=4 → $r4%.3f, planes=6 → $r6%.3f")
+    assert(r6 > 0.0 && r4 >= r6)
+  }
+
   test("simhash_banded (global, bucketed) ⊇ simhash_neardup (lang-blocked)") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("a_id", "b_id")
       .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
