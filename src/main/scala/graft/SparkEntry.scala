@@ -67,6 +67,8 @@ object SparkEntry {
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
+    "mm_resize" -> (Multimodal.mmResize _),
+    "mm_frame_sample" -> (Multimodal.mmFrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +119,7 @@ object SparkEntry {
     "emb_ivf_knn" -> VectorOps.embIvfKnnSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
+    "mm_resize" -> Multimodal.mmResizeSql,
+    "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
   )
 }

@@ -41,4 +41,20 @@ object FileIO {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Bucketed + sorted catalog table — the co-located-join primitive. Two
+    * tables bucketed on their join key with the same bucket count join
+    * with ZERO exchanges (and zero sorts when `sortBy` matches): at 100 TB
+    * this turns every recurring fact⋈fact join on the bucketing key into
+    * a map-side merge, paying the shuffle once at write time instead of
+    * per query. Bucket count is the write-time parallelism knob — pick so
+    * bucket × file size lands near the split size (~128 MB–1 GB).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

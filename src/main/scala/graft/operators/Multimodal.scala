@@ -103,4 +103,57 @@ object Multimodal {
       |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1 AS width,
       |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1080 + 1 AS height
       |FROM documents""".stripMargin
+
+  /** Resize: fit each image into a 512×512 box preserving aspect ratio,
+    * downscale-only (integer arithmetic so both engines agree exactly; the
+    * pixel-level resample is the codec stub's job in production). Pure
+    * expression path — narrow, zero exchanges, whole-stage codegen'd.
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame =
+    mmFeatures(spark, sfDir)
+      .withColumn("m", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("m") <= 512, col("width"))
+          .otherwise(expr("width * 512 div m")).as("out_w"),
+        when(col("m") <= 512, col("height"))
+          .otherwise(expr("height * 512 div m")).as("out_h"))
+
+  val mmResizeSql: String =
+    """SELECT doc_id, width, height,
+      |  CASE WHEN m <= 512 THEN width ELSE width * 512 // m END AS out_w,
+      |  CASE WHEN m <= 512 THEN height ELSE height * 512 // m END AS out_h
+      |FROM (
+      |  SELECT doc_id, width, height, greatest(width, height) AS m FROM (
+      |    SELECT doc_id,
+      |      ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 1920 + 1 AS width,
+      |      ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 1080 + 1 AS height
+      |    FROM documents))""".stripMargin
+
+  /** Frame sampling: decode distributed (stub codec), keep every 4th
+    * frame — the standard video-training decimation. The filter runs
+    * inside the typed pipeline BEFORE any shuffle, so only sampled frames
+    * reach the aggregation (at 100 TB the decode+sample task output is
+    * 1/4 of the frame stream, and the codec never materializes the full
+    * frame list per partition — iterators stream).
+    */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRecord]
+    decodeFrames(media)
+      .filter(_.frame_idx % 4 == 0)
+      .toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).cast("long").as("last_idx"))
+  }
+
+  // frames 0..nf-1 with nf = bytes//1024 + 1; sampled = 0,4,8,… →
+  // count = (nf-1)//4 + 1, last = ((nf-1)//4)*4
+  val mmFrameSampleSql: String =
+    """SELECT doc_id,
+      |  (octet_length(encode(text)) // 1024) // 4 + 1 AS n_sampled,
+      |  ((octet_length(encode(text)) // 1024) // 4) * 4 AS last_idx
+      |FROM documents""".stripMargin
 }
