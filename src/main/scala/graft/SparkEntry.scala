@@ -39,6 +39,8 @@ object SparkEntry {
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
     "q17_udaf" -> (Relational.q17Udaf _),
     "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
+    "q19_pivot" -> (Relational.q19Pivot _),
+    "q15_dist" -> (Relational.q15Dist _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
     "ev_filter" -> (EventOps.evFilter _),
@@ -52,6 +54,10 @@ object SparkEntry {
     "doc_quality" -> (TextOps.docQuality _),
     "doc_lang" -> (TextOps.docLang _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "doc_redact" -> (TextOps.docRedact _),
+    // Deterministic sampling
+    "doc_sample_strat" -> (SampleOps.docSampleStrat _),
+    "doc_sample_topk" -> (SampleOps.docSampleTopK _),
     // Dedup family
     "dedup_exact" -> (DedupOps.dedupExact _),
     "minhash_sig" -> (DedupOps.minhashSig _),
@@ -60,10 +66,13 @@ object SparkEntry {
     "simhash_neardup" -> (DedupOps.simhashNeardup _),
     "simhash_banded" -> (DedupOps.simhashBanded _),
     "ngram_jaccard_pairs" -> (DedupOps.ngramJaccardPairs _),
+    "dedup_clusters" -> (DedupOps.dedupClusters _),
+    "dedup_corpus" -> (DedupOps.dedupCorpus _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
     "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
     "emb_ivf_knn" -> (VectorOps.embIvfKnn _),
+    "emb_quantize" -> (VectorOps.embQuantize _),
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
@@ -96,6 +105,8 @@ object SparkEntry {
     "q16_grouping_sets" -> Relational.q16GroupingSetsSql,
     "q17_udaf" -> Relational.q17UdafSql,
     // q18_approx_distinct: HLL sketch values are engine-specific — no oracle (rows-only check)
+    "q19_pivot" -> Relational.q19PivotSql,
+    "q15_dist" -> Relational.q15DistSql,
     "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_filter" -> EventOps.evFilterSql,
     "ev_json" -> EventOps.evJsonSql,
@@ -107,6 +118,9 @@ object SparkEntry {
     "doc_quality" -> TextOps.docQualitySql,
     "doc_lang" -> TextOps.docLangSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
+    "doc_redact" -> TextOps.docRedactSql,
+    "doc_sample_strat" -> SampleOps.docSampleStratSql,
+    "doc_sample_topk" -> SampleOps.docSampleTopKSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "minhash_sig" -> DedupOps.minhashSigSql,
     "minhash_lsh_pairs" -> DedupOps.minhashLshPairsSql,
@@ -114,9 +128,12 @@ object SparkEntry {
     "simhash_neardup" -> DedupOps.simhashNeardupSql,
     "simhash_banded" -> DedupOps.simhashBandedSql,
     "ngram_jaccard_pairs" -> DedupOps.ngramJaccardPairsSql,
+    "dedup_clusters" -> DedupOps.dedupClustersSql,
+    "dedup_corpus" -> DedupOps.dedupCorpusSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
     "emb_ivf_knn" -> VectorOps.embIvfKnnSql,
+    "emb_quantize" -> VectorOps.embQuantizeSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_resize" -> Multimodal.mmResizeSql,

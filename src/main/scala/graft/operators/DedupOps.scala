@@ -235,6 +235,95 @@ object DedupOps {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** Connected components over an undirected pair graph — min-label
+    * propagation. Each iteration is ONE shuffle (edge⋈label + min-agg);
+    * labels converge to the component-minimum id in O(diameter) rounds,
+    * and near-dup clusters have tiny diameters (docs similar to a common
+    * doc are similar-ish to each other), so the loop is a handful of
+    * rounds even at corpus scale. The driver loop iterates ROUNDS, never
+    * rows — every round is fully distributed, and each round's label
+    * table is persist()ed so the next round (and the convergence check)
+    * reads materialized labels instead of re-running the whole lineage.
+    * At extreme skew (one giant component) the alternating large-star /
+    * small-star variant bounds rounds at O(log n); near-dup graphs don't
+    * need it.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a_id"), col("b_id")).persist()
+    val edges = p.union(p.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("cluster_id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 16) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.select(col("v"), col("cluster_id").as("old")), "v")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    p.unpersist()
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Duplicate clusters: connected components of the MinHash-LSH near-dup
+    * graph at Jaccard ≥ 0.5 — the step that turns pairwise similarity
+    * into dedup groups (a ~ b ~ c must collapse to ONE kept doc even if
+    * (a, c) was never emitted as a pair).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(
+      minhashLshPairs(spark, sfDir).filter(col("jacc") >= 0.5))
+
+  /** The recursive-CTE twin: min reachable id per vertex == component min
+    * (graph is undirected), and UNION's set semantics terminate the
+    * fixpoint.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jacc >= 0.5
+       |          UNION ALL SELECT b_id, a_id FROM pairs WHERE jacc >= 0.5),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+       |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v""".stripMargin
+
+  /** End-to-end deduped corpus: drop every cluster member except the
+    * canonical (minimum-id) doc. The drop list is |duplicates| — tiny
+    * relative to the corpus — so the anti-join broadcasts it and the
+    * corpus never shuffles.
+    */
+  def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val drop = dedupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val dedupCorpusSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jacc >= 0.5
+       |          UNION ALL SELECT b_id, a_id FROM pairs WHERE jacc >= 0.5),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+       |drops AS (SELECT v FROM reach GROUP BY v HAVING v != min(l))
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT v FROM drops)""".stripMargin
+
   /** Exact character-4-gram Jaccard pairs within a (lang × length-bucket)
     * block (quadratic — valid only inside bounded blocks; MinHash-LSH is
     * the unbounded-scale path). Length-bucketing is the standard trick:

@@ -408,4 +408,56 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         count(lit(1)).as("n_rows"))
+
+  /** q19: pivot — long-to-wide reshaping (order counts by priority ×
+    * status). Pivot values are EXPLICIT (`Seq("F","O","P")`): without
+    * them Spark runs an extra distinct-collect job to discover the
+    * columns, and the driver must hold the value set — never do that at
+    * 100 TB. With explicit values this is a single partial+final hash
+    * aggregate, one shuffle on the grouping key only.
+    */
+  def q19Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+
+  val q19PivotSql: String =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** q15_dist: exact percentiles without the aggregation-buffer memory
+    * bomb. `percentile` (q15) materializes every group value in one
+    * executor buffer; this variant instead sorts each group once
+    * (`row_number` — a SPILLABLE external sort, not an in-memory array)
+    * and reduces the interpolation as a conditional sum over the two
+    * straddling ranks: value = (1−frac)·v_lo + frac·v_hi at rank
+    * p·(n−1). Same exact numbers, bounded memory. (The unbounded-scale
+    * path remains q15_approx — a per-group sort still funnels each group
+    * through one task's disk.)
+    */
+  def q15Dist(spark: SparkSession, sfDir: String): DataFrame = {
+    val wSort = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(wSort).cast("double") - 1)
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+    def interp(p: Double, as: String): Column = {
+      val idx = lit(p) * (col("n") - 1)
+      val frac = idx - floor(idx)
+      round(sum(
+        when(col("rn") === floor(idx), (lit(1.0) - frac) * col("l_extendedprice"))
+          .when(col("rn") === floor(idx) + 1, frac * col("l_extendedprice"))
+          .otherwise(lit(0.0))), 4).as(as)
+    }
+    ranked.groupBy(col("l_returnflag"))
+      .agg(interp(0.5, "p50"), interp(0.9, "p90"), interp(0.99, "p99"))
+  }
+
+  val q15DistSql: String = q15PercentileSql
 }

@@ -116,4 +116,27 @@ object TextOps {
       |  ('0x' || substr(md5(norm), 1, 8))::BIGINT AS fp32
       |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
       |      FROM documents)""".stripMargin
+
+  /** Sensitive-term redaction — the PII-scrub shape (emails/phones/ids in
+    * production; a vocabulary term list here so both mask branches are
+    * exercised on the synthetic corpus). Per-row regex, zero exchanges; at
+    * 100 TB this is a pure map stage fused into the scan. Output is the
+    * match count plus a digest of the redacted text (full rewritten docs
+    * stay in the executors — only 48 bytes/doc leave the scan).
+    */
+  def docRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = "\\b(customer|value|table)\\b"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        // functions-API pattern args: a SQL-literal '\b' would be eaten by
+        // SQL string escaping inside expr()
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_masked"),
+        md5(regexp_replace(col("text"), pat, "<MASK>")).as("redacted_md5"))
+  }
+
+  val docRedactSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\b(customer|value|table)\b')) AS n_masked,
+      |  md5(regexp_replace(text, '\b(customer|value|table)\b', '<MASK>', 'g')) AS redacted_md5
+      |FROM documents""".stripMargin
 }
