@@ -249,28 +249,36 @@ object DedupOps {
     * need it.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("a_id"), col("b_id")).persist()
+    val p = pairs.select(col("a_id"), col("b_id"))
     val edges = p.union(p.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("cluster_id")).persist()
+    // round 0 fused into init: label(v) = min(v, min neighbor)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("md"))
+      .select(col("src").as("v"), least(col("src"), col("md")).as("cluster_id"))
+      .persist()
     var converged = false
     var iter = 0
     while (!converged && iter < 16) {
+      // one action per round: the union-agg carries each vertex's OLD
+      // label alongside the propagated min, so persist-materialization
+      // and the convergence count are the same job (no per-round join).
       val prop = edges.join(labels, edges("src") === labels("v"))
-        .select(col("dst").as("v"), col("cluster_id"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+        .select(col("dst").as("v"), col("cluster_id").as("c"), lit(false).as("own"))
+      val next = labels
+        .select(col("v"), col("cluster_id").as("c"), lit(true).as("own"))
+        .unionByName(prop)
+        .groupBy(col("v"))
+        .agg(min(col("c")).as("cluster_id"),
+          min(when(col("own"), col("c"))).as("old"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.select(col("v"), col("cluster_id").as("old")), "v")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val changed = next
+        .agg(sum((col("cluster_id") =!= col("old")).cast("long"))).first().getLong(0)
       labels.unpersist()
-      labels = next
+      labels = next.select(col("v"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }
-    p.unpersist()
     edges.unpersist()
     labels.select(col("v").as("doc_id"), col("cluster_id"))
   }
