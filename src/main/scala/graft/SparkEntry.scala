@@ -49,12 +49,15 @@ object SparkEntry {
     "ev_sessionize" -> (EventOps.evSessionize _),
     "ev_window_agg" -> (EventOps.evWindowAgg _),
     "ev_asof_join" -> (Temporal.evAsofJoin _),
+    "ev_interarrival" -> (EventOps.evInterarrival _),
     // Text analysis (training-data pipeline)
     "doc_tokens" -> (TextOps.docTokens _),
     "doc_quality" -> (TextOps.docQuality _),
     "doc_lang" -> (TextOps.docLang _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "doc_redact" -> (TextOps.docRedact _),
+    "doc_ngram_freq" -> (TextOps.docNgramFreq _),
+    "doc_rep_2gram" -> (TextOps.docRep2gram _),
     // Deterministic sampling
     "doc_sample_strat" -> (SampleOps.docSampleStrat _),
     "doc_sample_topk" -> (SampleOps.docSampleTopK _),
@@ -114,11 +117,14 @@ object SparkEntry {
     "ev_sessionize" -> EventOps.evSessionizeSql,
     "ev_window_agg" -> EventOps.evWindowAggSql,
     "ev_asof_join" -> Temporal.evAsofJoinSql,
+    "ev_interarrival" -> EventOps.evInterarrivalSql,
     "doc_tokens" -> TextOps.docTokensSql,
     "doc_quality" -> TextOps.docQualitySql,
     "doc_lang" -> TextOps.docLangSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_redact" -> TextOps.docRedactSql,
+    "doc_ngram_freq" -> TextOps.docNgramFreqSql,
+    "doc_rep_2gram" -> TextOps.docRep2gramSql,
     "doc_sample_strat" -> SampleOps.docSampleStratSql,
     "doc_sample_topk" -> SampleOps.docSampleTopKSql,
     "dedup_exact" -> DedupOps.dedupExactSql,

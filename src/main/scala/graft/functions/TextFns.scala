@@ -54,6 +54,15 @@ object TextFns {
        |                element_at($toksCol, i + 2))),
        |  CAST(array() AS ARRAY<STRING>))""".stripMargin
 
+  /** Word 2-grams over a token-array column name (empty below 2 tokens —
+    * same descending-`sequence` guard as shingles3Sql).
+    */
+  def grams2Sql(toksCol: String): String =
+    s"""IF(size($toksCol) >= 2,
+       |  transform(sequence(1, size($toksCol) - 1),
+       |    i -> concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1))),
+       |  CAST(array() AS ARRAY<STRING>))""".stripMargin
+
   /** Character n-grams of a (pre-normalized) string column name; empty
     * array for strings shorter than n (same guard rationale as shingles).
     */

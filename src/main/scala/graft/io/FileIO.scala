@@ -57,4 +57,24 @@ object FileIO {
       .sortBy(cols.head, cols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. The long-running-pipeline hygiene
+    * op — streaming sinks and fine-grained partitioning accumulate
+    * kilobyte files whose per-file open/footer cost dominates scans at
+    * 100 TB (and whose count explodes the driver's file index).
+    * `coalesce` (not `repartition`) — narrow, no shuffle: each output
+    * task concatenates a set of input files.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(fsPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(fsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+  }
 }

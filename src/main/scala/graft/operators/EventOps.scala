@@ -141,4 +141,31 @@ object EventOps {
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Inter-arrival statistics per user (lag/lead coverage + the cadence
+    * signal behind bot/burst detection). One shuffle: the lag window and
+    * the per-user aggregate share the user_id partitioning, and the lag
+    * sort spills rather than buffering (µs integer axis — see sessionize
+    * note on why never double).
+    */
+  def evInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("delta", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("delta")), 4).as("avg_delta_us"),
+        max(col("delta")).as("max_delta_us"))
+  }
+
+  val evInterarrivalSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(avg(delta), 4) AS avg_delta_us, max(delta) AS max_delta_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
 }

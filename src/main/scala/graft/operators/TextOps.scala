@@ -139,4 +139,53 @@ object TextOps {
       |  len(regexp_extract_all(text, '\b(customer|value|table)\b')) AS n_masked,
       |  md5(regexp_replace(text, '\b(customer|value|table)\b', '<MASK>', 'g')) AS redacted_md5
       |FROM documents""".stripMargin
+
+  /** Corpus bigram frequency, top-100 — the vocabulary/statistics builder
+    * (BPE seeding, stopword induction). Explode feeds a map-side partial
+    * aggregate in the SAME stage, so the shuffle carries (gram, partial
+    * count), not raw gram occurrences; the top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def docNgramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(explode(expr(grams2Sql("t"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(100)
+
+  val docNgramFreqSql: String =
+    """SELECT gram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS gram
+      |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |        FROM documents))
+      |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin
+
+  /** Within-document repetition (the Gopher/CCNet duplicate-n-gram quality
+    * rule): share of the doc's 2-grams occupied by its single most
+    * frequent 2-gram. Two hash aggregations — (doc, gram) then (doc) —
+    * both with map-side partials; no joins, no windows.
+    */
+  def docRep2gram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(expr(grams2Sql("t"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_2grams"), max(col("n")).as("max_rep"),
+        round(max(col("n")).cast("double") / sum(col("n")), 4).as("rep_ratio"))
+
+  val docRep2gramSql: String =
+    """SELECT doc_id, sum(n)::BIGINT AS n_2grams, max(n) AS max_rep,
+      |  round(max(n)::DOUBLE / sum(n), 4) AS rep_ratio
+      |FROM (
+      |  SELECT doc_id, gram, count(*) AS n FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1])) AS gram
+      |    FROM (SELECT doc_id,
+      |            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |          FROM documents))
+      |  GROUP BY doc_id, gram)
+      |GROUP BY doc_id""".stripMargin
 }

@@ -74,4 +74,17 @@ class PlanSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("dedup_corpus broadcasts the drop list into an anti join (corpus never shuffles)") {
+    val p = plan("dedup_corpus")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+  }
+
+  test("doc_ngram_freq plans TakeOrderedAndProject over a partial-agg shuffle") {
+    val p = plan("doc_ngram_freq")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$p")
+  }
 }

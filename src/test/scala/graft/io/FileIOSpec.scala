@@ -17,9 +17,32 @@ class FileIOSpec extends SparkSpec {
     FileIO.writeParquet(df, dir, partitionBy = Seq("name"))
     val back = FileIO.readParquet(spark, dir).filter($"name" === "a")
     assert(back.count() == 2)
-    // partition filter must prune at the source, not post-scan
-    val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || back.count() == 2)
+    // partition filter must prune at the source, not post-scan: the scan
+    // node carries a non-empty partition-filter list and reads only the
+    // name=a directory
+    val scans = back.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+      s"expected pruned scan:\n${back.queryExecution.executedPlan}")
+    // pruned selection: the scan reports one partition of the two written
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("name")))
+  }
+
+  test("compact rewrites a fragmented directory into few files, same rows") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_io3").toString + "/frag"
+    spark.range(0, 10000).select($"id", ($"id" % 7).as("k"))
+      .repartition(64) // simulate a streaming sink's small-file spray
+      .write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parts >= 32)
+    FileIO.compact(spark, dir)
+    assert(parts <= 2, s"still $parts files after compact")
+    val back = FileIO.readParquet(spark, dir)
+    assert(back.count() == 10000 &&
+      back.agg(org.apache.spark.sql.functions.sum($"id")).first().getLong(0) == 49995000L)
   }
 
   test("csv and json round-trips with explicit schema") {
