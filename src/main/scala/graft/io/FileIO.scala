@@ -58,6 +58,22 @@ object FileIO {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-sorted layout: range-partition on the key then sort within
+    * partitions before writing, so every parquet file covers a DISJOINT
+    * key range and row-group min/max stats skip whole files for range
+    * predicates. At 100 TB this is the difference between "scan
+    * everything, filter later" and touching only the files a
+    * `BETWEEN`/point lookup can match — the poor man's clustered index,
+    * paid once at write time (one range-exchange) like bucketing.
+    */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int,
+                  cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. The long-running-pipeline hygiene
     * op — streaming sinks and fine-grained partitioning accumulate

@@ -21,6 +21,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Sliding event-time windows: each event lands in windowLen/slide
+    * overlapping buckets (state size scales with the overlap factor —
+    * keep slide ≥ windowLen/4 at 100 TB event rates).
+    */
+  def slidingCount(df: DataFrame, tsCol: String, keyCol: String,
+                   windowLen: String, slide: String,
+                   watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** Session windows: gap-based event-time sessions per key. */
   def sessionCount(df: DataFrame, tsCol: String, keyCol: String,
                    gap: String, watermark: String = "10 minutes"): DataFrame =

@@ -87,4 +87,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"expected map-side partial aggregation:\n$p")
   }
+
+  private def countExchanges(name: String): Int = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+    }.sum
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ev_interarrival: lag window and per-user agg share ONE exchange") {
+    assert(countExchanges("ev_interarrival") == 1)
+  }
+
+  test("q15_dist: both window specs and the final agg share ONE exchange") {
+    assert(countExchanges("q15_dist") == 1)
+  }
 }

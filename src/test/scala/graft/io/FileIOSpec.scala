@@ -45,6 +45,25 @@ class FileIOSpec extends SparkSpec {
       back.agg(org.apache.spark.sql.functions.sum($"id")).first().getLong(0) == 49995000L)
   }
 
+  test("writeSorted produces files with disjoint key ranges (data-skipping layout)") {
+    val dir = Files.createTempDirectory("graft_io4").toString + "/srt"
+    FileIO.writeSorted(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_quantity"),
+      dir, numFiles = 4, cols = Seq("l_orderkey"))
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 4)
+    import org.apache.spark.sql.functions.{min, max}
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("l_orderkey"), max("l_orderkey")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: ${ranges.mkString(", ")}")
+    }
+  }
+
   test("csv and json round-trips with explicit schema") {
     val s = spark
     import s.implicits._

@@ -34,6 +34,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window count (streaming): events land in overlapping windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Click]
+    val out = StreamOps.slidingCount(in.toDF(), "ts", "user", "1 hour", "30 minutes")
+    val qn = s"sl_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      // one event at Base+40min: covered by windows starting at 0:00 and 0:30
+      in.addData(Seq(Click("u1", t(40 * 60 * 1000))))
+      q.processAllAvailable()
+      in.addData(Seq(Click("u9", t(6 * H)))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table(qn).filter($"user" === "u1")
+        .select("window_start", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime - Base, r.getLong(1))).toSet
+      assert(rows == Set((0L, 1L), (30L * 60 * 1000, 1L)))
+    } finally q.stop()
+  }
+
   test("session window count (streaming)") {
     val s = spark
     import s.implicits._
