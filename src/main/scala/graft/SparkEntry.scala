@@ -40,6 +40,7 @@ object SparkEntry {
     "q17_udaf" -> (Relational.q17Udaf _),
     "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
     "q19_pivot" -> (Relational.q19Pivot _),
+    "q20_ntile" -> (Relational.q20Ntile _),
     "q15_dist" -> (Relational.q15Dist _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
@@ -57,6 +58,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "doc_redact" -> (TextOps.docRedact _),
     "doc_ngram_freq" -> (TextOps.docNgramFreq _),
+    "doc_df_top" -> (TextOps.docDfTop _),
     "doc_rep_2gram" -> (TextOps.docRep2gram _),
     // Deterministic sampling
     "doc_sample_strat" -> (SampleOps.docSampleStrat _),
@@ -109,6 +111,7 @@ object SparkEntry {
     "q17_udaf" -> Relational.q17UdafSql,
     // q18_approx_distinct: HLL sketch values are engine-specific — no oracle (rows-only check)
     "q19_pivot" -> Relational.q19PivotSql,
+    "q20_ntile" -> Relational.q20NtileSql,
     "q15_dist" -> Relational.q15DistSql,
     "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_filter" -> EventOps.evFilterSql,
@@ -124,6 +127,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_redact" -> TextOps.docRedactSql,
     "doc_ngram_freq" -> TextOps.docNgramFreqSql,
+    "doc_df_top" -> TextOps.docDfTopSql,
     "doc_rep_2gram" -> TextOps.docRep2gramSql,
     "doc_sample_strat" -> SampleOps.docSampleStratSql,
     "doc_sample_topk" -> SampleOps.docSampleTopKSql,

@@ -460,4 +460,23 @@ object Relational {
   }
 
   val q15DistSql: String = q15PercentileSql
+
+  /** q20: ntile — equi-depth decile assignment (customer value tiers).
+    * One window sort on the balance; the tiebreak on key makes tile
+    * boundaries deterministic across engines. A window without
+    * PARTITION BY funnels one sort task — at 100 TB use sketch
+    * quantiles (q15_approx style) for global tiers or shard by a coarse
+    * partition key first; this query is the operator-coverage form.
+    */
+  def q20Ntile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(w))
+  }
+
+  val q20NtileSql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |FROM customer""".stripMargin
 }

@@ -162,6 +162,28 @@ object TextOps {
       |        FROM documents))
       |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin
 
+  /** Document frequency, top-100 tokens — the df table behind idf
+    * weighting and df-based stopword/boilerplate filters. `array_distinct`
+    * BEFORE the explode keeps per-doc duplicates out of the shuffle
+    * (explode feeds a map-side partial count, same discipline as
+    * doc_ngram_freq).
+    */
+  def docDfTop(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(col("t"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(100)
+
+  val docDfTopSql: String =
+    """SELECT token, count(*) AS df FROM (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(t)) AS token
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |        FROM documents))
+      |GROUP BY token ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
+
   /** Within-document repetition (the Gopher/CCNet duplicate-n-gram quality
     * rule): share of the doc's 2-grams occupied by its single most
     * frequent 2-gram. Two hash aggregations — (doc, gram) then (doc) —
