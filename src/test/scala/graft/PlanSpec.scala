@@ -96,6 +96,22 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no query plans a cartesian product or an unintended nested-loop join") {
+    // brute-force kNN broadcasts the tiny query side against an
+    // inequality condition, and IVF scores every vector against the
+    // broadcast pivot set — the two places a broadcast nested-loop IS the
+    // wanted plan. ngram_jaccard/simhash block on equijoin keys, LSH on
+    // buckets.
+    val nestedLoopOk = Set("emb_knn", "emb_ivf_knn")
+    SparkEntry.queries.keys.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!nestedLoopOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended nested-loop join")
+    }
+  }
+
   test("ev_interarrival: lag window and per-user agg share ONE exchange") {
     assert(countExchanges("ev_interarrival") == 1)
   }
