@@ -38,4 +38,21 @@ object Skew {
   val evSaltedAggSql: String =
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Salted shuffle join for a skewed left side: the hot left keys spread
+    * over `salt` sub-keys, the right side replicates `salt`× (explode of a
+    * constant array — right is the smaller-but-not-broadcastable side).
+    * Result-identical to the plain equijoin for ANY salt assignment, so
+    * the left salt uses a cheap deterministic spread. This is the manual
+    * fallback for the cases AQE skew-join can't fix (e.g. a single key
+    * too large for any split, or non-AQE paths like streaming joins).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

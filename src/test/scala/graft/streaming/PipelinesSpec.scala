@@ -76,6 +76,45 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint identity: restart resumes from the offset log, no reprocessing (SURVEY §2.5)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    def boom(id: String) =
+      s"""{"exception":{"exception_class":"$id","exception_message":"x","stacktrace":"s"},"version":1,"level":"ERROR"}"""
+    val Base = 86400L * 1000L
+    def frames(rows: Seq[(String, String, Long)]) = rows
+      .map { case (k, v, t) => Frame(k, v, new Timestamp(Base + t)) }.toDF()
+    def startQuery() =
+      Pipelines.dedupPipeline(
+          spark.readStream.schema(frames(Nil).schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // epoch 1: two novel ids + one duplicate
+    frames(Seq(("a", boom("E1"), 0L), ("b", boom("E2"), 1000L),
+      ("c", boom("E1"), 2000L))).write.parquet(src)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 2, s"expected E1+E2 once, got $afterFirst")
+
+    // epoch 2 (new query instance, same checkpoint): a new file with one
+    // more duplicate of E1 (still in-window) and a novel id. The restart
+    // must pick up ONLY the new file (offset log) and must still know E1
+    // (state store) — reprocessing or state loss both break the count.
+    frames(Seq(("d", boom("E1"), 3000L), ("e", boom("E3"), 4000L)))
+      .write.mode("append").parquet(src)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val vals = spark.read.parquet(out).select(col("value").cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(vals.length == 3, s"exactly-once violated: ${vals.length} rows")
+    assert(vals.count(_.contains("E1")) == 1 && vals.count(_.contains("E3")) == 1)
+  }
+
   test("hot-key pre-suppression (payload-elision markers) is output-identical to the plain path") {
     val s = spark
     import s.implicits._
