@@ -25,11 +25,21 @@ object FileIO {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Streaming twin: same formats through `readStream` (file-arrival
-    * micro-batches).
+    * micro-batches). `maxFilesPerTrigger` is the backpressure knob — an
+    * unbounded first batch over a 100 TB backlog is a single giant
+    * micro-batch; bounding files-per-trigger keeps state commits and
+    * output latency steady during catch-up.
     */
-  def readStreamParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+  def readStreamParquet(spark: SparkSession, path: String, schema: StructType,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
 
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
@@ -41,6 +51,9 @@ object FileIO {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Bucketed + sorted catalog table — the co-located-join primitive. Two
     * tables bucketed on their join key with the same bucket count join

@@ -64,6 +64,16 @@ class FileIOSpec extends SparkSpec {
     }
   }
 
+  test("orc round-trip with pushed-down filter") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_io5").toString + "/o"
+    FileIO.writeOrc(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "name"), dir)
+    val back = FileIO.readOrc(spark, dir).filter($"id" > 1)
+    assert(back.count() == 2)
+    assert(back.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"))
+  }
+
   test("csv and json round-trips with explicit schema") {
     val s = spark
     import s.implicits._
