@@ -54,7 +54,7 @@ object StreamBench {
         timestamp_micros(expr("ts div 1000")).cast("timestamp").as("timestamp"))
       .as[Frame].collect()
 
-    def run(name: String, pipeline: DataFrame => DataFrame): (String, Double, Long) = {
+    def run(name: String, pipeline: DataFrame => DataFrame): (String, Double, Long, Long) = {
       val input = MemoryStream[Frame]
       val qn = s"sb_$name"
       val q = pipeline(input.toDF()).writeStream.format("memory")
@@ -67,14 +67,19 @@ object StreamBench {
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val outRows = spark.table(qn).count()
+      // end-to-end micro-batch latency (BASELINE.md protocol): median
+      // triggerExecution over the data-carrying batches
+      val lat = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      val p50 = if (lat.isEmpty) -1L else lat(lat.size / 2)
       q.stop()
-      (name, (frames.length - 1000) / secs, outRows)
+      (name, (frames.length - 1000) / secs, outRows, p50)
     }
 
     val t1 = run("t1_filter", df => Pipelines.filterPipeline(df))
     val t2 = run("t2_dedup", df => Pipelines.dedupPipeline(df))
-    val qs = Seq(t1, t2).map { case (n, rps, rows) =>
-      s""""$n":{"records_per_sec":${rps.round},"out_rows":$rows}"""
+    val qs = Seq(t1, t2).map { case (n, rps, rows, p50) =>
+      s""""$n":{"records_per_sec":${rps.round},"out_rows":$rows,"batch_ms_p50":$p50}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_throughput","unit":"records/sec","pipelines":$qs,"n_records":${frames.length},"sf":"$sfDir"}""")
     spark.stop()

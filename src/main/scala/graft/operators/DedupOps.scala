@@ -253,16 +253,29 @@ object DedupOps {
     val edges = p.union(p.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").persist()
     // round 0 fused into init: label(v) = min(v, min neighbor)
+    // Each round's label table is localCheckpoint'ed (eager): this both
+    // materializes the round (so the next round reads stored blocks, not
+    // recomputed lineage) and TRUNCATES the logical plan — labels feeds
+    // the round twice (own-label branch + propagation join), so without
+    // truncation the plan tree doubles per round and the fixpoint dies in
+    // plan construction long before data size matters. The superseded
+    // round-RDDs are dropped by the ContextCleaner once unreferenced; in
+    // a long-lived 100 TB pipeline, reliable checkpoints to storage play
+    // this role.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("md"))
       .select(col("src").as("v"), least(col("src"), col("md")).as("cluster_id"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 16) {
-      // one action per round: the union-agg carries each vertex's OLD
-      // label alongside the propagated min, so persist-materialization
-      // and the convergence count are the same job (no per-round join).
+    // rounds needed = eccentricity of the component-min vertex (+1 to
+    // detect convergence); near-dup graphs sit at 2–4. The cap is a
+    // safety valve sized far above any similarity graph — a topology
+    // that legitimately needs it (a 64-hop chain of pairwise-similar
+    // docs) wants the large-star/small-star O(log n) variant instead.
+    while (!converged && iter < 64) {
+      // the union-agg carries each vertex's OLD label alongside the
+      // propagated min, so the convergence count needs no per-round join
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("cluster_id").as("c"), lit(false).as("own"))
       val next = labels
@@ -271,10 +284,9 @@ object DedupOps {
         .groupBy(col("v"))
         .agg(min(col("c")).as("cluster_id"),
           min(when(col("own"), col("c"))).as("old"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next
         .agg(sum((col("cluster_id") =!= col("old")).cast("long"))).first().getLong(0)
-      labels.unpersist()
       labels = next.select(col("v"), col("cluster_id"))
       converged = changed == 0
       iter += 1

@@ -1,5 +1,6 @@
 package graft
 
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.operators.DedupOps
 
 /** Connected components over a synthetic pair graph — the primitive behind
@@ -24,5 +25,54 @@ class DedupClusterSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L)
     assert(got == want)
+  }
+
+  /** Single-threaded union-find reference model. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("property: connectedComponents == union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    // kept deliberately small: every sample costs a full multi-round
+    // distributed fixpoint (a dozen Spark jobs), so a handful of samples
+    // with a worst-case chain beats a large random sweep
+    val genPairs = for {
+      n <- Gen.choose(2, 16) // vertex universe
+      m <- Gen.choose(1, 20) // edges
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs
+    val prop = Prop.forAll(genPairs) { pairs =>
+      pairs.isEmpty || {
+        val df = DedupOps.connectedComponents(pairs.toDF("a_id", "b_id"))
+        val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        df.unpersist()
+        got == unionFind(pairs)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a 24-hop chain converges (propagation depth beyond near-dup diameters)") {
+    import spark.implicits._
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 24L).map(_ -> 0L).toMap)
   }
 }
