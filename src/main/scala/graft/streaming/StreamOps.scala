@@ -42,6 +42,17 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
 
+  /** Stream-static enrichment: join a stream against a batch dimension
+    * table. The static side re-plans per micro-batch (so a refreshed dim
+    * snapshot is picked up) and broadcasts when small — the stream side
+    * never shuffles and no state store is involved, making this the
+    * cheapest join in the streaming toolbox; prefer it over stream-stream
+    * whenever one side is a slowly-changing table.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+             joinType: String = "left_outer"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), joinType)
+
   /** Stream-stream inner join with an event-time interval bound: right
     * rows match left rows within [left.ts - before, left.ts + after].
     * Watermarks + the interval condition let Spark expire both sides'

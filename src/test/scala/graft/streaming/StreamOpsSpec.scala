@@ -76,6 +76,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join (broadcast dim, no state store)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("user", "tier")
+    val in = MemoryStream[Click]
+    val out = StreamOps.enrich(in.toDF(), dim, "user")
+    val qn = s"en_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      in.addData(Seq(Click("u1", t(0)), Click("u3", t(10))))
+      q.processAllAvailable()
+      val rows = spark.table(qn).select("user", "tier").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows == Set(("u1", Some("gold")), ("u3", None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join") {
     val s = spark
     import s.implicits._
