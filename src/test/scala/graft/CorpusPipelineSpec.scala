@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.FileIO
+import graft.operators.{DedupOps, SampleOps, TextOps}
+
+/** End-to-end training-data pipeline over the batch operators: near-dup
+  * removal → quality filter → stratified sample → partitioned write.
+  * This is the composition a user of the library actually runs; the spec
+  * pins that the stages compose (ids flow through), the output directory
+  * is lang-partitioned, and reads prune on the partition column.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup -> quality -> sample -> partitioned write composes end-to-end") {
+    val corpus = DedupOps.dedupCorpus(spark, sf) // (doc_id, lang, n_chars)
+    val quality = TextOps.docQuality(spark, sf)
+      .filter(col("n_tokens") >= 5 && col("uniq_ratio") > 0.1)
+      .select(col("doc_id"))
+    val sampled = SampleOps.docSampleStrat(spark, sf).select(col("doc_id"))
+    val kept = corpus
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(sampled, Seq("doc_id"), "left_semi")
+
+    val total = Tables.documents(spark, sf).count()
+    val n = kept.count()
+    assert(n > 0 && n < total, s"pipeline must filter: $n of $total")
+
+    val out = Files.createTempDirectory("graft_pipe").toString + "/corpus"
+    FileIO.writeParquet(kept, out, partitionBy = Seq("lang"))
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang=")))
+
+    val back = FileIO.readParquet(spark, out).filter(col("lang") === "en")
+    val scans = back.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.head.partitionFilters.nonEmpty, "lang filter must prune partitions")
+    assert(back.count() == kept.filter(col("lang") === "en").count())
+  }
+}
