@@ -278,13 +278,24 @@ object DedupOps {
       // propagated min, so the convergence count needs no per-round join
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("cluster_id").as("c"), lit(false).as("own"))
-      val next = labels
+      val hop = labels
         .select(col("v"), col("cluster_id").as("c"), lit(true).as("own"))
         .unionByName(prop)
         .groupBy(col("v"))
         .agg(min(col("c")).as("cluster_id"),
           min(when(col("own"), col("c"))).as("old"))
-        .localCheckpoint(true)
+      // pointer jumping from round 3 on: label(v) ← label(label(v)).
+      // Labels are always component members ≤ v, so the jump preserves
+      // correctness while halving pointer depth — one-hop alone needs
+      // diameter rounds on a chain, with jumping O(log d). Engaged late
+      // because near-dup graphs converge in 2–3 one-hop rounds and the
+      // extra self-join would be pure overhead there.
+      val next = (if (iter < 2) hop else {
+        val map = hop.select(col("v").as("jv"), col("cluster_id").as("jc"))
+        hop.join(map, col("cluster_id") === col("jv"), "left")
+          .select(col("v"),
+            coalesce(col("jc"), col("cluster_id")).as("cluster_id"), col("old"))
+      }).localCheckpoint(true)
       val changed = next
         .agg(sum((col("cluster_id") =!= col("old")).cast("long"))).first().getLong(0)
       labels = next.select(col("v"), col("cluster_id"))

@@ -68,11 +68,11 @@ class DedupClusterSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("a 24-hop chain converges (propagation depth beyond near-dup diameters)") {
+  test("a 100-hop chain converges (requires pointer jumping: diameter > round cap)") {
     import spark.implicits._
-    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val got = DedupOps.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (0L to 24L).map(_ -> 0L).toMap)
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
   }
 }
