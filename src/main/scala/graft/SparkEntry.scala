@@ -41,6 +41,7 @@ object SparkEntry {
     "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
     "q19_pivot" -> (Relational.q19Pivot _),
     "q20_ntile" -> (Relational.q20Ntile _),
+    "q21_profile" -> (Relational.q21Profile _),
     "q15_dist" -> (Relational.q15Dist _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
@@ -51,6 +52,7 @@ object SparkEntry {
     "ev_window_agg" -> (EventOps.evWindowAgg _),
     "ev_asof_join" -> (Temporal.evAsofJoin _),
     "ev_interarrival" -> (EventOps.evInterarrival _),
+    "ev_session_window" -> (EventOps.evSessionWindow _),
     // Text analysis (training-data pipeline)
     "doc_tokens" -> (TextOps.docTokens _),
     "doc_quality" -> (TextOps.docQuality _),
@@ -112,6 +114,7 @@ object SparkEntry {
     // q18_approx_distinct: HLL sketch values are engine-specific — no oracle (rows-only check)
     "q19_pivot" -> Relational.q19PivotSql,
     "q20_ntile" -> Relational.q20NtileSql,
+    "q21_profile" -> Relational.q21ProfileSql,
     "q15_dist" -> Relational.q15DistSql,
     "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_filter" -> EventOps.evFilterSql,
@@ -121,6 +124,7 @@ object SparkEntry {
     "ev_window_agg" -> EventOps.evWindowAggSql,
     "ev_asof_join" -> Temporal.evAsofJoinSql,
     "ev_interarrival" -> EventOps.evInterarrivalSql,
+    "ev_session_window" -> EventOps.evSessionWindowSql,
     "doc_tokens" -> TextOps.docTokensSql,
     "doc_quality" -> TextOps.docQualitySql,
     "doc_lang" -> TextOps.docLangSql,

@@ -142,6 +142,34 @@ object EventOps {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Batch `session_window` (the BUILTIN gap-merge sessionization, vs the
+    * manual lag/running-sum form in `sessionize`): the oracle is the
+    * manual formulation aggregated per session — so the two
+    * implementations cross-check each other. One shuffle on the grouping
+    * key; in streaming the same expression runs incrementally with
+    * watermark-driven state merge (StreamOps.sessionCount).
+    */
+  def evSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"), col("n"))
+
+  val evSessionWindowSql: String =
+    """SELECT user_id, min(ts_us) AS session_start, count(*) AS n FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
   /** Inter-arrival statistics per user (lag/lead coverage + the cadence
     * signal behind bot/burst detection). One shuffle: the lag window and
     * the per-user aggregate share the user_id partitioning, and the lag

@@ -479,4 +479,31 @@ object Relational {
     """SELECT c_custkey, c_acctbal,
       |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
       |FROM customer""".stripMargin
+
+  /** q21: table profiling — the stats pass a pipeline runs before
+    * committing to a layout (row counts, key cardinalities, value
+    * ranges). Two exact count-distincts in one aggregate plan via Expand;
+    * at 100 TB swap them for approx_count_distinct (q18 is the sketch
+    * twin) — the rest is a single partial+final agg over one scan.
+    */
+  def q21Profile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_shipdate").cast("date")).cast("string").as("min_ship"),
+        max(col("l_shipdate").cast("date")).cast("string").as("max_ship"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+
+  val q21ProfileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  (min(l_shipdate)::DATE)::VARCHAR AS min_ship,
+      |  (max(l_shipdate)::DATE)::VARCHAR AS max_ship,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem""".stripMargin
 }
