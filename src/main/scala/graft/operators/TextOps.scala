@@ -184,6 +184,33 @@ object TextOps {
       |        FROM documents))
       |GROUP BY token ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
 
+  /** Compression-ratio quality signal (deflate bytes / raw bytes): highly
+    * repetitive or templated text compresses far below prose — the cheap
+    * single-pass repetition detector used alongside the n-gram rules. No
+    * SQL builtin computes deflate, so this is a typed `mapPartitions`
+    * (like the multimodal codec): one Deflater per partition, streaming,
+    * zero exchanges, ~16 bytes/doc emitted. Deflate output is
+    * deterministic for a fixed level, but there is no DuckDB twin — this
+    * ships as a library operator with behavioral tests rather than an
+    * oracle query.
+    */
+  def compressionRatio(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      val buf = new Array[Byte](1 << 16)
+      it.map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var n = 0L
+        while (!deflater.finished()) n += deflater.deflate(buf)
+        (id, raw.length.toLong, math.round(n.toDouble / math.max(raw.length, 1) * 10000) / 10000.0)
+      }
+    }.toDF("doc_id", "n_bytes", "deflate_ratio")
+  }
+
   /** Within-document repetition (the Gopher/CCNet duplicate-n-gram quality
     * rule): share of the doc's 2-grams occupied by its single most
     * frequent 2-gram. Two hash aggregations — (doc, gram) then (doc) —

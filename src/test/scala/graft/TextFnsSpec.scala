@@ -34,4 +34,20 @@ class TextFnsSpec extends SparkSpec {
     assert(rows(3)._2 == 4)                      // "one two" = 7 chars → 4 grams
     assert(rows(4)._1 == 2 && rows(4)._3.isDefined)
   }
+
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam " * 400),                                   // pure repetition
+      (2L, (0 until 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")),
+      (3L, "")                                               // empty: guarded division
+    ).toDS()
+    val rows = graft.operators.TextOps.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1)._2 < 0.05, s"repetition must crush: ${rows(1)}")
+    assert(rows(2)._2 > 0.3, s"varied text must not: ${rows(2)}")
+    assert(rows(2)._2 > rows(1)._2 * 5)
+    assert(rows(3)._1 == 0L)
+  }
 }
