@@ -265,7 +265,7 @@ object DedupOps {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("md"))
       .select(col("src").as("v"), least(col("src"), col("md")).as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var iter = 0
     // rounds needed = eccentricity of the component-min vertex (+1 to
@@ -284,18 +284,19 @@ object DedupOps {
         .groupBy(col("v"))
         .agg(min(col("c")).as("cluster_id"),
           min(when(col("own"), col("c"))).as("old"))
-      // pointer jumping from round 3 on: label(v) ← label(label(v)).
+      // pointer jumping from round 4 on: label(v) ← label(label(v)).
       // Labels are always component members ≤ v, so the jump preserves
       // correctness while halving pointer depth — one-hop alone needs
       // diameter rounds on a chain, with jumping O(log d). Engaged late
       // because near-dup graphs converge in 2–3 one-hop rounds and the
       // extra self-join would be pure overhead there.
-      val next = (if (iter < 2) hop else {
+      val next = (if (iter < 3) hop else {
         val map = hop.select(col("v").as("jv"), col("cluster_id").as("jc"))
         hop.join(map, col("cluster_id") === col("jv"), "left")
           .select(col("v"),
             coalesce(col("jc"), col("cluster_id")).as("cluster_id"), col("old"))
-      }).localCheckpoint(true)
+      }).localCheckpoint(false) // lazy: the convergence count below is the
+                                // action that materializes this round
       val changed = next
         .agg(sum((col("cluster_id") =!= col("old")).cast("long"))).first().getLong(0)
       labels = next.select(col("v"), col("cluster_id"))
