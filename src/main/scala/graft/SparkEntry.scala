@@ -78,6 +78,7 @@ object SparkEntry {
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
     "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
+    "emb_neardup_multiprobe" -> (VectorOps.embNeardupMultiprobe _),
     "emb_ivf_knn" -> (VectorOps.embIvfKnn _),
     "emb_quantize" -> (VectorOps.embQuantize _),
     // Multimodal columns
@@ -146,6 +147,7 @@ object SparkEntry {
     "dedup_corpus" -> DedupOps.dedupCorpusSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
+    "emb_neardup_multiprobe" -> VectorOps.embNeardupMultiprobeSql,
     "emb_ivf_knn" -> VectorOps.embIvfKnnSql,
     "emb_quantize" -> VectorOps.embQuantizeSql,
     "mm_features" -> Multimodal.mmFeaturesSql,

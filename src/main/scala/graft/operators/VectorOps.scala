@@ -122,6 +122,41 @@ object VectorOps {
        |WHERE list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
        |    / (a.nrm * b.nrm) >= 0.3""".stripMargin
 
+  /** Multi-probe LSH near-dup: each vector additionally probes every
+    * bucket at Hamming distance 1 in sign-bit space (`planes` + 1 probes),
+    * catching near-dup pairs that a single hyperplane split separated —
+    * the standard recall lever that lets plane count (and thus bucket
+    * occupancy) stay high without losing boundary pairs. Still a pure
+    * equijoin (probe = bucket): candidate volume grows by (planes+1)×,
+    * never quadratically. The oracle states the same pair set
+    * declaratively: bucket Hamming distance ≤ 1.
+    */
+  def embNeardupMultiprobe(spark: SparkSession, sfDir: String): DataFrame =
+    embNeardupMultiprobe(spark, sfDir, planes = 6)
+
+  def embNeardupMultiprobe(spark: SparkSession, sfDir: String, planes: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", expr(bucketSql(planes)))
+      .persist() // barrier: sign-bit projections computed once
+    val probeArr = (Seq("bucket") ++
+      (0 until planes).map(p => s"bucket ^ ${1L << p}L")).mkString("array(", ", ", ")")
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+      explode(expr(probeArr)).as("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", expr("cosine_sim(av, bv)"))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
+  val embNeardupMultiprobeSql: String =
+    embNeardupLshSql.replace(
+      "ON a.bucket = b.bucket AND a.vec_id < b.vec_id",
+      "ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id")
+
   /** IVF-style ANN: the corpus is partitioned into cells by nearest pivot
     * (pivots = the 16 lowest-id vectors — deterministic, no trained
     * centroids, so the oracle reproduces the structure exactly); a query

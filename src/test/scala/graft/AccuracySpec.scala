@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, Relational}
+import graft.operators.{DedupOps, Relational, VectorOps}
 
 /** Accuracy bounds for the sketch operators that can't be cross-engine
   * oracled (the sketch values are engine-specific): each approximate form
@@ -89,5 +89,15 @@ class AccuracySpec extends SparkSpec {
     // pair the lang-blocked plan finds (plus any cross-lang ones)
     assert(blocked.subsetOf(banded),
       s"missing: ${blocked.diff(banded).take(5)}")
+  }
+
+  test("multi-probe LSH ⊇ single-probe at the same plane count") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("a_id", "b_id")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val single = pairs(VectorOps.embNeardupLsh(spark, sf, planes = 6))
+    val multi = pairs(VectorOps.embNeardupMultiprobe(spark, sf, planes = 6))
+    assert(single.subsetOf(multi),
+      s"probe of the exact bucket must be included: ${single.diff(multi).take(5)}")
+    info(s"LSH pairs: single-probe ${single.size}, multi-probe ${multi.size}")
   }
 }
