@@ -56,4 +56,30 @@ object SampleOps {
       |    ('0x' || substr(md5('topk|' || doc_id), 1, 8))::BIGINT AS hk
       |  FROM documents)
       |ORDER BY hk, doc_id LIMIT 60""".stripMargin
+
+  /** Deterministic train/val/test split (90/5/5): the terminal step of a
+    * data pipeline. Hash-assigned per doc id, so membership is stable
+    * under corpus growth and reshuffles — a doc NEVER migrates between
+    * splits across pipeline reruns, which is what keeps eval sets
+    * uncontaminated. Pure projection, zero exchanges; downstream writers
+    * partition by `split`.
+    */
+  def docSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        expr(s"${h32Sql("concat('split|', cast(doc_id as string))")} % 100"))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+
+  val docSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)""".stripMargin
 }
