@@ -61,6 +61,7 @@ object SparkEntry {
     "doc_redact" -> (TextOps.docRedact _),
     "doc_ngram_freq" -> (TextOps.docNgramFreq _),
     "doc_df_top" -> (TextOps.docDfTop _),
+    "doc_tfidf_top" -> (TextOps.docTfidfTop _),
     "doc_rep_2gram" -> (TextOps.docRep2gram _),
     // Deterministic sampling
     "doc_sample_strat" -> (SampleOps.docSampleStrat _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "doc_redact" -> TextOps.docRedactSql,
     "doc_ngram_freq" -> TextOps.docNgramFreqSql,
     "doc_df_top" -> TextOps.docDfTopSql,
+    "doc_tfidf_top" -> TextOps.docTfidfTopSql,
     "doc_rep_2gram" -> TextOps.docRep2gramSql,
     "doc_sample_strat" -> SampleOps.docSampleStratSql,
     "doc_sample_topk" -> SampleOps.docSampleTopKSql,

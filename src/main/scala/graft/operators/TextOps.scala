@@ -184,6 +184,48 @@ object TextOps {
       |        FROM documents))
       |GROUP BY token ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
 
+  /** Per-document top-3 tf-idf tokens — the keyword/topic extraction pass.
+    * Ranking is by the INTEGER keys (tf desc, df asc, token asc), which
+    * orders identically to the score for fixed N while staying immune to
+    * cross-engine last-ulp differences in `ln`; the float score itself is
+    * emitted rounded. Shuffle discipline: tf aggregates on (doc, token),
+    * df reuses the tf table (one extra token-keyed agg + join), the final
+    * rank windows on doc_id. Corpus size N is a driver-side metadata
+    * count (never a per-row subquery).
+    */
+  def docTfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.documents(spark, sfDir).count()
+    val tf = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfT, Seq("token"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("score"))
+  }
+
+  val docTfidfTopSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY doc_id, token),
+      |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, rn, token, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+      |    round(tf.tf * ln(n.n::DOUBLE / dft.df), 4) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dft.df ASC, tf.token ASC) AS rn
+      |  FROM tf JOIN dft USING (token), n)
+      |WHERE rn <= 3""".stripMargin
+
   /** Compression-ratio quality signal (deflate bytes / raw bytes): highly
     * repetitive or templated text compresses far below prose — the cheap
     * single-pass repetition detector used alongside the n-gram rules. No
