@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("document scans prune unused columns (ReadSchema = consumed fields only)") {
+    // doc_tokens consumes only (doc_id, text); a scan reading lang/source/
+    // n_chars for it would drag dead bytes through every 100 TB pass
+    val scans = SparkEntry.queries("doc_tokens")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("doc_id", "text"), s"over-read: $read")
+  }
+
   test("ev_interarrival: lag window and per-user agg share ONE exchange") {
     assert(countExchanges("ev_interarrival") == 1)
   }
