@@ -27,6 +27,8 @@ object SparkEntry {
     "q7_intersect" -> (Relational.q7Intersect _),
     "q7_except" -> (Relational.q7Except _),
     "q7_union" -> (Relational.q7Union _),
+    "q7_except_all" -> (Relational.q7ExceptAll _),
+    "q7_intersect_all" -> (Relational.q7IntersectAll _),
     "q8_rollup" -> (Relational.q8Rollup _),
     "q9_distinct_agg" -> (Relational.q9DistinctAgg _),
     "q10_cube" -> (Relational.q10Cube _),
@@ -102,6 +104,8 @@ object SparkEntry {
     "q7_intersect" -> Relational.q7IntersectSql,
     "q7_except" -> Relational.q7ExceptSql,
     "q7_union" -> Relational.q7UnionSql,
+    "q7_except_all" -> Relational.q7ExceptAllSql,
+    "q7_intersect_all" -> Relational.q7IntersectAllSql,
     "q8_rollup" -> Relational.q8RollupSql,
     "q9_distinct_agg" -> Relational.q9DistinctAggSql,
     "q10_cube" -> Relational.q10CubeSql,

@@ -198,6 +198,36 @@ object Relational {
       |EXCEPT
       |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
 
+  /** Multiset (ALL) set ops — distinct physical operators from the
+    * DISTINCT forms (ExceptAll/IntersectAll plan with count-tracking
+    * aggregates, no dedup): kept as separate coverage rows. Inputs are
+    * true multisets (customers repeat across orders) so multiplicity
+    * semantics are actually exercised.
+    */
+  def q7ExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey"))
+      .exceptAll(ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+  }
+
+  val q7ExceptAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  def q7IntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey"))
+      .intersectAll(ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+  }
+
+  val q7IntersectAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      |INTERSECT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   def q7Union(spark: SparkSession, sfDir: String): DataFrame =
     buildingCust(spark, sfDir).union(bigSpenders(spark, sfDir)).distinct()
 
