@@ -78,6 +78,7 @@ object SparkEntry {
     "simhash_banded" -> (DedupOps.simhashBanded _),
     "ngram_jaccard_pairs" -> (DedupOps.ngramJaccardPairs _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
+    "winnow_fp" -> (DedupOps.winnowFingerprints _),
     "dedup_corpus" -> (DedupOps.dedupCorpus _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "simhash_banded" -> DedupOps.simhashBandedSql,
     "ngram_jaccard_pairs" -> DedupOps.ngramJaccardPairsSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
+    "winnow_fp" -> DedupOps.winnowFingerprintsSql,
     "dedup_corpus" -> DedupOps.dedupCorpusSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,

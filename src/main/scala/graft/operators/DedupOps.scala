@@ -235,6 +235,41 @@ object DedupOps {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** Winnowing fingerprints (the MOSS scheme): over the char-4-gram hash
+    * sequence, keep the minimum of every sliding window of 8 — guarantees
+    * any shared substring of ≥ 11 chars contributes a shared fingerprint,
+    * making this the SUBSTRING-level dedup primitive (plagiarism/quote
+    * detection) that whole-doc digests and shingle sketches miss. Pure
+    * per-row HOFs over one gram pass, zero exchanges; emitted per doc:
+    * fingerprint count, min, and an order-independent xor fold (bit-exact
+    * oracle without shipping the fingerprint arrays).
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("hs", expr(s"transform(${charGramsSeqSql("norm", 4)}, s -> ${h32Sql("s")})"))
+      .withColumn("fp", expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 7, 1)), " +
+          "i -> array_min(slice(hs, i, 8))))"))
+      .select(col("doc_id"),
+        size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("fp_min"),
+        expr("aggregate(fp, 0L, (a, x) -> a ^ x)").as("fp_xor"))
+
+  val winnowFingerprintsSql: String =
+    """SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min,
+      |  list_reduce(list_prepend(0::BIGINT, fp), (a, x) -> xor(a, x)) AS fp_xor
+      |FROM (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+      |      i -> list_min(hs[i:i+7]))) AS fp
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform(list_transform(range(1, greatest(length(norm) - 3, 0) + 1),
+      |        i -> substr(norm, i, 4)), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+      |    FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |          FROM documents)))""".stripMargin
+
   /** Connected components over an undirected pair graph — min-label
     * propagation. Each iteration is ONE shuffle (edge⋈label + min-agg);
     * labels converge to the component-minimum id in O(diameter) rounds,
