@@ -29,7 +29,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name subset (dev loop); driver passes none
+    val wanted = args.toSet
+    val picked =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
+    val results = picked.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         once(fn) // warm-up (plan compile + JIT + page cache)
         val timed = Seq(once(fn), once(fn), once(fn)).sorted

@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, WinnowKernel}
 
 /** Library entry point: one call wires everything a session needs —
-  * the native codegen'd expressions (`cosine_sim`, `jaccard_sorted`),
+  * the native codegen'd expressions (`cosine_sim`, `jaccard_sorted`,
+  * `winnow_fp`),
   * the typed UDAF (`weighted_avg`), and the parquet nanos setting the
   * `events` table requires. Individual operators also self-register what
   * they use, so calling this is convenience, not a correctness
@@ -15,6 +16,7 @@ object Graft {
   def init(spark: SparkSession): SparkSession = {
     CosineSimilarity.register(spark)
     JaccardSimilarity.register(spark)
+    WinnowKernel.register(spark)
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

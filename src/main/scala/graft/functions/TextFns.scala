@@ -63,14 +63,6 @@ object TextFns {
        |    i -> concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1))),
        |  CAST(array() AS ARRAY<STRING>))""".stripMargin
 
-  /** Character n-gram SEQUENCE (order kept, duplicates kept — winnowing
-    * needs positional windows); empty array below n chars.
-    */
-  def charGramsSeqSql(strCol: String, n: Int): String =
-    s"IF(length($strCol) >= $n, " +
-      s"transform(sequence(1, length($strCol) - ${n - 1}), i -> substring($strCol, i, $n)), " +
-      "CAST(array() AS ARRAY<STRING>))"
-
   /** Character n-grams of a (pre-normalized) string column name; empty
     * array for strings shorter than n (same guard rationale as shingles).
     */

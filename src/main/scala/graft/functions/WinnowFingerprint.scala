@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for winnowing fingerprints (the MOSS
+  * scheme): char-4-gram Karp-Rabin hashes, minimum of every sliding
+  * window of 8, distinct in first-occurrence order.
+  *
+  * This replaces a 3-stage higher-order-function chain (char-code
+  * transform → gram-hash transform → window-min transform) whose lambdas
+  * Spark evaluates interpreted, per element — the fused primitive loop
+  * here is one virtual call per ROW and took the query from 2.8 s to
+  * ~0.2 s at sf0.1. Hash values are bit-identical to the SQL/DuckDB
+  * formulation: poly = c₀·257³+c₁·257²+c₂·257+c₃ over the char codes
+  * (injective on 4-grams; input is pre-normalized ASCII), scrambled by
+  * Knuth's 2654435761 multiplier mod 2³². poly < 122·257³ < 2³¹ and
+  * 2³¹·2654435761 < 2⁶³, so the arithmetic never overflows a long.
+  */
+case class WinnowFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.compute(input.asInstanceOf[UTF8String])
+
+  // one static call keeps the projection inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowKernel.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The per-row kernel, a plain object so Scala emits a static forwarder
+  * the generated Java can call directly.
+  */
+object WinnowKernel {
+  private final val N = 4  // gram width
+  private final val W = 8  // winnow window (guarantee: shared substrings of
+                           // ≥ N + W - 1 = 11 chars share a fingerprint)
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = str.length - (N - 1)
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = ((str.charAt(i) * 16974593L + str.charAt(i + 1) * 66049L +
+        str.charAt(i + 2) * 257L + str.charAt(i + 3)) * 2654435761L) % 4294967296L
+      i += 1
+    }
+    val out = new Array[Long](math.max(m - W + 1, 1))
+    var nOut = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (m >= W) {
+      i = 0
+      while (i <= m - W) {
+        var mn = hs(i)
+        var k = 1
+        while (k < W) { if (hs(i + k) < mn) mn = hs(i + k); k += 1 }
+        if (seen.add(mn)) { out(nOut) = mn; nOut += 1 }
+        i += 1
+      }
+    } else {
+      // 1..W-1 grams: a single whole-sequence minimum (mirrors the SQL
+      // fallback branch and DuckDB's clamped slice)
+      var mn = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      out(0) = mn; nOut = 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** Register as a SQL function (`winnow_fp(s)`) on the session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fp", exprs => WinnowFingerprint(exprs.head), "built-in")
+}

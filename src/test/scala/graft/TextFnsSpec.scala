@@ -50,4 +50,52 @@ class TextFnsSpec extends SparkSpec {
     assert(rows(2)._2 > rows(1)._2 * 5)
     assert(rows(3)._1 == 0L)
   }
+
+  /** Single-threaded reference model of the winnow kernel: the same
+    * polynomial/scramble arithmetic written the naive way (per-gram hash
+    * list, min of every slice of 8, distinct), independent of the fused
+    * sliding-window implementation under test.
+    */
+  private def winnowModel(s: String): Seq[Long] = {
+    val m = s.length - 3
+    if (m <= 0) return Seq.empty
+    val hs = (0 until m).map(i =>
+      ((s(i) * 16974593L + s(i + 1) * 66049L + s(i + 2) * 257L + s(i + 3)) *
+        2654435761L) % 4294967296L)
+    val mins =
+      if (m >= 8) (0 to m - 8).map(i => hs.slice(i, i + 8).min)
+      else Seq(hs.min)
+    mins.distinct
+  }
+
+  test("winnow_fp kernel matches the naive reference model, incl. short-doc edges") {
+    val s = spark
+    import s.implicits._
+    graft.functions.WinnowKernel.register(spark)
+    val texts = Seq(
+      "", "ab", "abc", "abcd", "abcdefghij",          // 0..7 grams
+      "abcdefghijk",                                   // exactly 8 grams
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa",                          // all-equal hashes
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString)
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "norm")
+      .withColumn("fp", expr("winnow_fp(norm)"))
+      .select(col("id"), col("fp"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == winnowModel(t), s"text #$i ${t.take(20)}")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a >=11-char substring share a fingerprint") {
+    val shared = "zqxjkwvbnmp"  // 11 chars, appears nowhere else
+    val a = "first document body " + shared + " tail of the first"
+    val b = "completely different opening here " + shared + " and another ending"
+    val fa = winnowModel(a).toSet
+    val fb = winnowModel(b).toSet
+    assert(fa.intersect(fb).nonEmpty, "shared 11-char substring must share a fingerprint")
+    // and unrelated docs (no 4-gram in common) share none
+    val fc = winnowModel("0123456789 0123456789 0123456789").toSet
+    assert(fa.intersect(fc).isEmpty)
+  }
 }
