@@ -80,6 +80,8 @@ object SparkEntry {
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "winnow_fp" -> (DedupOps.winnowFingerprints _),
     "dedup_corpus" -> (DedupOps.dedupCorpus _),
+    "doc_boilerplate" -> (DedupOps.docBoilerplate _),
+    "doc_decontam" -> (DedupOps.docDecontam _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
     "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
@@ -155,6 +157,8 @@ object SparkEntry {
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "winnow_fp" -> DedupOps.winnowFingerprintsSql,
     "dedup_corpus" -> DedupOps.dedupCorpusSql,
+    "doc_boilerplate" -> DedupOps.docBoilerplateSql,
+    "doc_decontam" -> DedupOps.docDecontamSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
     "emb_neardup_multiprobe" -> VectorOps.embNeardupMultiprobeSql,

@@ -46,13 +46,16 @@ object TextFns {
     * DESCENDS and `element_at(t, 0)` throws under ANSI mode, while the
     * DuckDB oracle's `range()` returns an empty list).
     */
-  def shingles3Sql(toksCol: String): String =
-    s"""IF(size($toksCol) >= 3,
-       |  transform(sequence(1, size($toksCol) - 2),
-       |    i -> concat(element_at($toksCol, i), ' ',
-       |                element_at($toksCol, i + 1), ' ',
-       |                element_at($toksCol, i + 2))),
+  def shingles3Sql(toksCol: String): String = shinglesWSql(toksCol, 3)
+
+  /** Word w-shingles for any width (same guard; space-joined). */
+  def shinglesWSql(toksCol: String, w: Int): String = {
+    val parts = (0 until w).map(k => s"element_at($toksCol, i + $k)")
+      .mkString(", ' ', ")
+    s"""IF(size($toksCol) >= $w,
+       |  transform(sequence(1, size($toksCol) - ${w - 1}), i -> concat($parts)),
        |  CAST(array() AS ARRAY<STRING>))""".stripMargin
+  }
 
   /** Word 2-grams over a token-array column name (empty below 2 tokens —
     * same descending-`sequence` guard as shingles3Sql).

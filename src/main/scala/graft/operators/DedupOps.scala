@@ -439,4 +439,109 @@ object DedupOps {
       |      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jacc
       |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
       |WHERE jacc >= 0.4""".stripMargin
+
+  /** Per-doc distinct token w-shingle hashes — the shared front end of
+    * the corpus-frequency ops below. `array_distinct` BEFORE the explode
+    * makes (doc_id, gh) doc-distinct with zero shuffle. The `persist()`
+    * barrier keeps the interpreted HOF chain out of the downstream
+    * generator: exploding the un-materialized array re-evaluates the
+    * whole transform per OUTPUT element (measured 35 s vs 0.2 s at
+    * sf0.1 — the same CollapseProject recompute the MinHash pipeline
+    * guards against), and both ops consume the grams twice anyway.
+    */
+  private def docGramHashes(spark: SparkSession, sfDir: String, w: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("ghs", array_distinct(
+        expr(s"transform(${shinglesWSql("t", w)}, s -> ${h32Sql("s")})")))
+      .select(col("doc_id"), col("ghs"))
+      .persist()
+
+  /** Corpus-frequency boilerplate detection (the C4/CCNet repeated-span
+    * filter adapted to newline-less docs): a token 3-gram is boilerplate
+    * when it appears in ≥ 1% of documents; emit per doc its gram count,
+    * boilerplate-gram count, and boilerplate ratio (the quality signal a
+    * filter would threshold on).
+    *
+    * Scale shape: the gram-df aggregation shuffles 16-byte (doc_id, gh)
+    * pairs only — never text; the boilerplate set is small by
+    * construction (df ≥ 1% caps it at 100/corpus-fraction grams) so the
+    * join back is a broadcast; the final per-doc join carries only
+    * (doc_id, two counters). The relative threshold needs the corpus
+    * count — a 1-row broadcast cross join (the intended nested loop;
+    * whitelisted in PlanSpec like the kNN broadcasts).
+    */
+  def docBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docGramHashes(spark, sfDir, 3)
+    val exploded = perDoc.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    val total = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val bp = exploded.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") >= ceil(col("n_docs") * 0.01))
+      .select(col("gh"))
+    val nBp = exploded.join(broadcast(bp), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("bp"))
+    perDoc.select(col("doc_id"), size(col("ghs")).as("n_grams"))
+      .join(nBp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("bp"), lit(0L)).as("n_bp"),
+        expr("IF(n_grams = 0, 0.0, round(coalesce(bp, 0L) / n_grams, 4))")
+          .as("bp_ratio"))
+  }
+
+  val docBoilerplateSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+      |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT)) AS ghs
+      |  FROM t),
+      |e AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
+      |bp AS (SELECT gh FROM e GROUP BY gh
+      |       HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM documents))),
+      |nb AS (SELECT doc_id, count(*) AS n_bp FROM e
+      |       WHERE gh IN (SELECT gh FROM bp) GROUP BY doc_id)
+      |SELECT g.doc_id, len(g.ghs) AS n_grams, coalesce(nb.n_bp, 0) AS n_bp,
+      |  CASE WHEN len(g.ghs) = 0 THEN 0.0
+      |       ELSE round(coalesce(nb.n_bp, 0) / len(g.ghs), 4) END AS bp_ratio
+      |FROM g LEFT JOIN nb USING (doc_id)""".stripMargin
+
+  /** Benchmark decontamination: training docs sharing any token 5-gram
+    * with a held-out eval set are contaminated (the published-model
+    * recipe — n-gram overlap against the test set — with w parametric;
+    * the query uses the doc_id % 29 slice as the stand-in benchmark).
+    * Emits the drop-list with overlap counts, like [[dedupCorpus]].
+    *
+    * Scale shape: eval-set grams are benchmark-sized (MBs), so they
+    * broadcast and the 100 TB training side never shuffles — the only
+    * exchange is the final per-doc count over matched grams (rare by
+    * construction).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalGrams = evalDocs.select(explode(col("ghs")).as("gh")).distinct()
+    train.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  def docDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = docGramHashes(spark, sfDir, 5)
+    decontaminate(
+      g.filter(col("doc_id") % 29 =!= 0),
+      g.filter(col("doc_id") % 29 === 0))
+  }
+
+  val docDecontamSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+      |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |          || toks[i+3] || ' ' || toks[i+4]), 1, 8))::BIGINT)) AS ghs
+      |  FROM t),
+      |e AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
+      |ev AS (SELECT DISTINCT gh FROM e WHERE doc_id % 29 = 0)
+      |SELECT doc_id, count(*) AS n_overlap FROM e
+      |WHERE doc_id % 29 != 0 AND gh IN (SELECT gh FROM ev)
+      |GROUP BY doc_id""".stripMargin
 }

@@ -96,13 +96,31 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("decontamination broadcasts the eval-gram side; corpus side never shuffles pre-join") {
+    // the 100 TB contract: benchmark grams ride a broadcast, so the only
+    // exchange is the final per-doc count over matched (rare) grams
+    val p = SparkEntry.queries("doc_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "eval grams must broadcast")
+    assert(countExchanges("doc_decontam") <= 2,
+      "only eval-gram distinct + final per-doc count may shuffle")
+  }
+
+  test("boilerplate detection broadcasts the bp-gram set back onto the corpus") {
+    val p = SparkEntry.queries("doc_boilerplate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "bp set must broadcast")
+  }
+
   test("no query plans a cartesian product or an unintended nested-loop join") {
     // brute-force kNN broadcasts the tiny query side against an
     // inequality condition, and IVF scores every vector against the
     // broadcast pivot set — the two places a broadcast nested-loop IS the
     // wanted plan. ngram_jaccard/simhash block on equijoin keys, LSH on
     // buckets.
-    val nestedLoopOk = Set("emb_knn", "emb_ivf_knn")
+    // doc_boilerplate: 1-row corpus-count cross join for its relative
+    // df threshold — a broadcast of one row is the wanted plan
+    val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate")
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
