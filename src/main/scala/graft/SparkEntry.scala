@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_corpus" -> (DedupOps.dedupCorpus _),
     "doc_boilerplate" -> (DedupOps.docBoilerplate _),
     "doc_decontam" -> (DedupOps.docDecontam _),
+    "doc_pack" -> (SampleOps.docPack _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
     "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "dedup_corpus" -> DedupOps.dedupCorpusSql,
     "doc_boilerplate" -> DedupOps.docBoilerplateSql,
     "doc_decontam" -> DedupOps.docDecontamSql,
+    "doc_pack" -> SampleOps.docPackSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
     "emb_neardup_multiprobe" -> VectorOps.embNeardupMultiprobeSql,

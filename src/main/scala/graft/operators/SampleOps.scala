@@ -82,4 +82,48 @@ object SampleOps {
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 100 AS bucket
       |  FROM documents)""".stripMargin
+
+  /** Sequence packing (concat-and-chunk): lay documents end-to-end in
+    * doc_id order within a language group and cut fixed-capacity
+    * training sequences every `Capacity` tokens; emit each doc's start
+    * offset, first chunk index, and how many chunks it straddles —
+    * the metadata a loader needs to assemble packed sequences without
+    * materializing them.
+    *
+    * Scale shape: one exchange — the running sum is a window
+    * partitioned by `lang`, so it hash-distributes instead of
+    * collapsing to a single partition the way a global-order pack
+    * would. Within a group the offsets are a prefix sum in doc_id
+    * order; cross-run determinism comes from the id ordering, not
+    * arrival order. Packing quality (wasted tail tokens per group) is
+    * bounded by Capacity per group, independent of corpus size.
+    */
+  val Capacity = 2048L
+
+  def docPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("cum_end") - col("n_tok")).as("start_off"),
+        expr(s"(cum_end - n_tok) div $Capacity").as("first_chunk"),
+        expr(s"IF(n_tok = 0, 0L, (cum_end - 1) div $Capacity - " +
+          s"(cum_end - n_tok) div $Capacity + 1)").as("n_chunks"))
+  }
+
+  val docPackSql: String =
+    """SELECT doc_id, lang, n_tok,
+      |  CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+      |  CAST((sum(n_tok) OVER w - n_tok) // 2048 AS BIGINT) AS first_chunk,
+      |  CAST(CASE WHEN n_tok = 0 THEN 0
+      |       ELSE (sum(n_tok) OVER w - 1) // 2048
+      |          - (sum(n_tok) OVER w - n_tok) // 2048 + 1 END AS BIGINT) AS n_chunks
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tok
+      |  FROM documents)
+      |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
 }

@@ -41,4 +41,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(scans.head.partitionFilters.nonEmpty, "lang filter must prune partitions")
     assert(back.count() == kept.filter(col("lang") === "en").count())
   }
+
+  test("sequence packing: offsets are contiguous per lang and chunks cover the tokens") {
+    val packed = SampleOps.docPack(spark, sf).collect()
+      .groupBy(_.getString(1))
+    packed.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      // concat-and-chunk: each doc starts exactly where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) + a.getLong(2) == b.getLong(3),
+            s"$lang: doc ${b.getLong(0)} start != prev end")
+        case _ =>
+      }
+      val total = sorted.map(_.getLong(2)).sum
+      val lastChunk = sorted.map(r => r.getLong(4) + r.getLong(5) - 1).max
+      assert(lastChunk == (total - 1) / SampleOps.Capacity,
+        s"$lang: chunk count must cover exactly ceil(total/C)")
+      // a doc spanning k chunks has k-1 internal boundaries inside it
+      sorted.foreach { r =>
+        val span = (r.getLong(3) + r.getLong(2) - 1) / SampleOps.Capacity -
+          r.getLong(3) / SampleOps.Capacity
+        if (r.getLong(2) > 0)
+          assert(r.getLong(5) == span + 1, s"$lang doc ${r.getLong(0)} n_chunks")
+      }
+    }
+  }
 }
