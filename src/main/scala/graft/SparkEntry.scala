@@ -57,6 +57,7 @@ object SparkEntry {
     "ev_session_window" -> (EventOps.evSessionWindow _),
     // Text analysis (training-data pipeline)
     "doc_tokens" -> (TextOps.docTokens _),
+    "doc_tok_bpe" -> (TextOps.docTokBpe _),
     "doc_quality" -> (TextOps.docQuality _),
     "doc_lang" -> (TextOps.docLang _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "ev_interarrival" -> EventOps.evInterarrivalSql,
     "ev_session_window" -> EventOps.evSessionWindowSql,
     "doc_tokens" -> TextOps.docTokensSql,
+    "doc_tok_bpe" -> TextOps.docTokBpeSql,
     "doc_quality" -> TextOps.docQualitySql,
     "doc_lang" -> TextOps.docLangSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,

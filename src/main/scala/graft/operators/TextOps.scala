@@ -41,6 +41,33 @@ object TextOps {
       |        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       |      FROM documents)""".stripMargin
 
+  /** BPE-style pre-tokenizer count: maximal runs of letters / digits /
+    * other-symbols, each with an optional leading space (the GPT-2
+    * pre-tokenizer shape, minus unicode classes). Splits "foo, bar!" into
+    * 4 tokens where whitespace counting sees 2 — the count that actually
+    * predicts subword-tokenizer cost, plus bytes-per-token, the standard
+    * corpus "tokenizability" signal. Pure scan-fused projection
+    * (`regexp_count` is codegen'd); zero exchanges.
+    */
+  private val BpeTokenRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def docTokBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_bpe", regexp_count(lower(col("text")), lit(BpeTokenRe)))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws"),
+        col("n_bpe"),
+        expr("IF(n_bpe = 0, 0.0, round(length(text) / n_bpe, 4))")
+          .as("bytes_per_tok"))
+
+  val docTokBpeSql: String =
+    """SELECT doc_id,
+      |  len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_ws,
+      |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe,
+      |  CASE WHEN len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) = 0 THEN 0.0
+      |       ELSE round(length(text) / len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 4) END AS bytes_per_tok
+      |FROM documents""".stripMargin
+
   /** Quality scoring: length stats + stopword ratio (the filter signals a
     * pretraining pipeline thresholds on).
     */

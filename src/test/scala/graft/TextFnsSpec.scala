@@ -87,6 +87,24 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("BPE-style pre-tokenizer counts punctuation runs that whitespace counting misses") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello, world!"),          // ws: 2; bpe: hello ,  world ! = 4
+      (2L, "a b c"),                  // identical under both
+      (3L, "")                        // empty: 0 bpe tokens, guarded ratio
+    ).toDF("doc_id", "text")
+    val rows = df
+      .withColumn("n_bpe",
+        regexp_count(lower(col("text")), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+")))
+      .withColumn("n_ws", size(graft.functions.TextFns.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(2))).toMap
+    assert(rows(1) == ((2, 4)), s"punctuation must add bpe tokens: ${rows(1)}")
+    assert(rows(2) == ((3, 3)))
+    assert(rows(3)._2 == 0)
+  }
+
   test("winnowing guarantee: docs sharing a >=11-char substring share a fingerprint") {
     val shared = "zqxjkwvbnmp"  // 11 chars, appears nowhere else
     val a = "first document body " + shared + " tail of the first"
