@@ -90,6 +90,7 @@ object SparkEntry {
     "emb_neardup_multiprobe" -> (VectorOps.embNeardupMultiprobe _),
     "emb_ivf_knn" -> (VectorOps.embIvfKnn _),
     "emb_quantize" -> (VectorOps.embQuantize _),
+    "emb_kmeans" -> (VectorOps.embKmeans _),
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "emb_neardup_multiprobe" -> VectorOps.embNeardupMultiprobeSql,
     "emb_ivf_knn" -> VectorOps.embIvfKnnSql,
     "emb_quantize" -> VectorOps.embQuantizeSql,
+    "emb_kmeans" -> VectorOps.embKmeansSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_resize" -> Multimodal.mmResizeSql,

@@ -266,4 +266,85 @@ object VectorOps {
       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |        FROM embeddings))""".stripMargin
+
+  /** Spherical k-means training (Lloyd iterations) — the centroid
+    * trainer IVF deployments run before `embIvfKnn` probes. Fully
+    * deterministic so the DuckDB oracle reproduces the fixed point:
+    * init = the k lowest-id vectors, assignment = argmax cosine (ties →
+    * lowest centroid id), update = per-dimension mean ROUNDED to 6
+    * decimals each iteration (the rounding pins engine-order float
+    * noise before it can flip a later assignment).
+    *
+    * Scale shape per iteration: centroids broadcast (k rows);
+    * assignment is a map-side argmin — `min(struct(-cos, c_id))` is a
+    * partial aggregate, so the k-fanout collapses back to one row per
+    * vector BEFORE the exchange; the update aggregates k·d groups
+    * (posexplode feeds a map-side partial avg — each partition emits at
+    * most k·d partial rows regardless of corpus size). The driver loop
+    * iterates ITERATIONS, never rows.
+    */
+  def embKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    embKmeans(spark, sfDir, k = 8, iters = 2)
+
+  def embKmeans(spark: SparkSession, sfDir: String, k: Int, iters: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).persist()
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var assign: DataFrame = null
+    (1 to iters).foreach { _ =>
+      assign = e.join(broadcast(cent), lit(true))
+        .withColumn("negcos", -expr("cosine_sim(v, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("negcos"), col("c_id"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("m.c_id").as("c_id"))
+      cent = assign
+        .select(col("c_id"), posexplode(col("v")))
+        .groupBy(col("c_id"), (col("pos") + 1).as("i"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)")
+          .as("cv"))
+    }
+    val counts = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+    cent.join(counts, Seq("c_id"))
+      .select(col("c_id"), col("n_members"),
+        posexplode(col("cv")))
+      .select(col("c_id"), col("n_members"),
+        (col("pos") + 1).as("i"), col("col").as("val"))
+  }
+
+  private def kmeansCosSql(vCol: String, vn: String, cCol: String): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), j -> $vCol[j] * $cCol[j])) " +
+      s"/ ($vn * sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> $cCol[j] * $cCol[j]))))"
+
+  val embKmeansSql: String = {
+    def assignCte(centTable: String): String =
+      s"""SELECT vec_id, v, vn, c_id FROM (
+         |    SELECT n.vec_id, n.v, n.vn, c.c_id,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${kmeansCosSql("n.v", "n.vn", "c.cv")} DESC, c.c_id ASC) AS rn
+         |    FROM n, $centTable c)
+         |  WHERE rn = 1""".stripMargin
+    def updateCte(assignTable: String): String =
+      s"""SELECT c_id, list(m ORDER BY i) AS cv FROM (
+         |    SELECT c_id, i, round(avg(v[i]), 6) AS m
+         |    FROM $assignTable, range(1, ${dims + 1}) t(i) GROUP BY c_id, i)
+         |  GROUP BY c_id""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> v[j] * v[j]))) AS vn
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |        FROM embeddings)),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+       |a1 AS (${assignCte("c0")}),
+       |c1 AS (${updateCte("a1")}),
+       |a2 AS (${assignCte("c1")}),
+       |c2 AS (${updateCte("a2")}),
+       |counts AS (SELECT c_id, count(*) AS n_members FROM a2 GROUP BY c_id)
+       |SELECT c2.c_id, CAST(counts.n_members AS BIGINT) AS n_members, t.i, c2.cv[t.i] AS val
+       |FROM c2 JOIN counts USING (c_id), range(1, ${dims + 1}) t(i)""".stripMargin
+  }
 }
