@@ -91,6 +91,7 @@ object SparkEntry {
     "emb_ivf_knn" -> (VectorOps.embIvfKnn _),
     "emb_quantize" -> (VectorOps.embQuantize _),
     "emb_kmeans" -> (VectorOps.embKmeans _),
+    "emb_ivf_trained" -> (VectorOps.embIvfTrained _),
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "emb_ivf_knn" -> VectorOps.embIvfKnnSql,
     "emb_quantize" -> VectorOps.embQuantizeSql,
     "emb_kmeans" -> VectorOps.embKmeansSql,
+    "emb_ivf_trained" -> VectorOps.embIvfTrainedSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_resize" -> Multimodal.mmResizeSql,

@@ -286,10 +286,11 @@ object VectorOps {
   def embKmeans(spark: SparkSession, sfDir: String): DataFrame =
     embKmeans(spark, sfDir, k = 8, iters = 2)
 
-  def embKmeans(spark: SparkSession, sfDir: String, k: Int, iters: Int): DataFrame = {
-    CosineSimilarity.register(spark)
-    val e = withVec(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("v")).persist()
+  /** `iters` Lloyd rounds over `e` (vec_id, v). Returns (centroids
+    * (c_id, cv), last assignment (vec_id, v, c_id)) — the assignment is
+    * against the PRE-update centroids, as Lloyd defines it.
+    */
+  private def lloyd(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var assign: DataFrame = null
@@ -308,6 +309,14 @@ object VectorOps {
         .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)")
           .as("cv"))
     }
+    (cent, assign)
+  }
+
+  def embKmeans(spark: SparkSession, sfDir: String, k: Int, iters: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).persist()
+    val (cent, assign) = lloyd(e, k, iters)
     val counts = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
     cent.join(counts, Seq("c_id"))
       .select(col("c_id"), col("n_members"),
@@ -320,7 +329,11 @@ object VectorOps {
     s"list_sum(list_transform(range(1, ${dims + 1}), j -> $vCol[j] * $cCol[j])) " +
       s"/ ($vn * sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> $cCol[j] * $cCol[j]))))"
 
-  val embKmeansSql: String = {
+  /** `n AS (vec_id, v, vn)` plus the Lloyd CTE chain c0, a1, c1, …,
+    * a{iters}, c{iters} for k initial centroids — shared by the trainer
+    * oracle and the trained-IVF oracle.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def assignCte(centTable: String): String =
       s"""SELECT vec_id, v, vn, c_id FROM (
          |    SELECT n.vec_id, n.v, n.vn, c.c_id,
@@ -333,18 +346,100 @@ object VectorOps {
          |    SELECT c_id, i, round(avg(v[i]), 6) AS m
          |    FROM $assignTable, range(1, ${dims + 1}) t(i) GROUP BY c_id, i)
          |  GROUP BY c_id""".stripMargin
-    s"""WITH n AS (
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (${assignCte(s"c${r - 1}")}),
+         |c$r AS (${updateCte(s"a$r")})""".stripMargin
+    }.mkString(",\n")
+    s"""n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> v[j] * v[j]))) AS vn
        |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |        FROM embeddings)),
-       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
-       |a1 AS (${assignCte("c0")}),
-       |c1 AS (${updateCte("a1")}),
-       |a2 AS (${assignCte("c1")}),
-       |c2 AS (${updateCte("a2")}),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
+
+  val embKmeansSql: String =
+    s"""WITH ${kmeansCtes(k = 8, iters = 2)},
        |counts AS (SELECT c_id, count(*) AS n_members FROM a2 GROUP BY c_id)
        |SELECT c2.c_id, CAST(counts.n_members AS BIGINT) AS n_members, t.i, c2.cv[t.i] AS val
        |FROM c2 JOIN counts USING (c_id), range(1, ${dims + 1}) t(i)""".stripMargin
+
+  /** IVF over TRAINED centroids: the full production shape — `lloyd`
+    * learns `cells` centroids, then the same broadcast-pivot /
+    * inverted-list probe as `embIvfKnn` runs against them. Versus the
+    * untrained variant the cells are balanced Voronoi regions, so
+    * inverted-list scans are evenly sized (the skew a 100 TB deployment
+    * cares about). Centroids are still k·d rounded doubles — tiny,
+    * broadcast; the corpus is touched iters+2 times, each a scan of the
+    * persisted (vec_id, v) projection.
+    */
+  def embIvfTrained(spark: SparkSession, sfDir: String): DataFrame =
+    embIvfTrained(spark, sfDir, cells = 16, iters = 2, nprobe = 2)
+
+  def embIvfTrained(spark: SparkSession, sfDir: String,
+                    cells: Int, iters: Int, nprobe: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).persist()
+    val piv = lloyd(e, cells, iters)._1
+      .select(col("c_id").as("p_id"), col("cv").as("pv"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val cellAssign = e.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(v, pv)"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("p_id").as("cell"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(qv, pv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("p_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(cellAssign, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr("cosine_sim(qv, v)"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
   }
+
+  val embIvfTrainedSql: String =
+    s"""WITH ${kmeansCtes(k = 16, iters = 2)},
+       |piv AS (
+       |  SELECT c_id AS p_id, cv AS pv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> cv[j] * cv[j]))) AS pn
+       |  FROM c2),
+       |cells AS (
+       |  SELECT vec_id, v, vn, p_id AS cell FROM (
+       |    SELECT n.vec_id, n.v, n.vn, piv.p_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
+       |          / (n.vn * piv.pn) DESC, piv.p_id ASC) AS rn
+       |    FROM n, piv)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, qn, p_id AS cell FROM (
+       |    SELECT n.vec_id AS q_id, n.v AS qv, n.vn AS qn, piv.p_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
+       |          / (n.vn * piv.pn) DESC, piv.p_id ASC) AS rn
+       |    FROM n, piv WHERE n.vec_id < 10)
+       |  WHERE rn <= 2)
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))
+       |      / (p.qn * c.vn) AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |      list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))
+       |        / (p.qn * c.vn) DESC, c.vec_id ASC) AS rank
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id)
+       |WHERE rank <= 5""".stripMargin
 }

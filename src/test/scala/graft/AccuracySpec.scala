@@ -62,6 +62,28 @@ class AccuracySpec extends SparkSpec {
       triples(exact))
   }
 
+  test("trained IVF: Lloyd centroids keep recall and balance the inverted lists") {
+    import graft.operators.VectorOps
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exactPairs = pairs(VectorOps.embKnn(spark, sf))
+    val untrained = pairs(VectorOps.embIvfKnn(spark, sf, cells = 16, nprobe = 2))
+      .intersect(exactPairs).size.toDouble / exactPairs.size
+    val trained = pairs(VectorOps.embIvfTrained(spark, sf, cells = 16, iters = 2, nprobe = 2))
+      .intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"IVF recall at nprobe=2: untrained → $untrained%.3f, trained → $trained%.3f")
+    assert(trained >= 0.5, s"trained-IVF recall too low: $trained")
+    // cell balance: Lloyd membership counts (emb_kmeans n_members at k=16)
+    // must not concentrate the corpus into one inverted list
+    val members = VectorOps.embKmeans(spark, sf, k = 16, iters = 2)
+      .select("c_id", "n_members").distinct().collect()
+      .map(r => r.getLong(1))
+    val n = members.sum.toDouble
+    info(f"trained cell sizes: max ${members.max}, mean ${n / members.length}%.1f")
+    assert(members.max <= n * 0.5, "one trained cell holds most of the corpus")
+  }
+
   test("LSH ANN: recall monotone in plane count; 0 planes == exhaustive pair scan") {
     import graft.operators.VectorOps
     def pairs(planes: Int) = VectorOps.embNeardupLsh(spark, sf, planes)
