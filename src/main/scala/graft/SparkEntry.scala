@@ -92,6 +92,7 @@ object SparkEntry {
     "emb_quantize" -> (VectorOps.embQuantize _),
     "emb_kmeans" -> (VectorOps.embKmeans _),
     "emb_ivf_trained" -> (VectorOps.embIvfTrained _),
+    "emb_semdedup" -> (VectorOps.embSemdedup _),
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "emb_quantize" -> VectorOps.embQuantizeSql,
     "emb_kmeans" -> VectorOps.embKmeansSql,
     "emb_ivf_trained" -> VectorOps.embIvfTrainedSql,
+    "emb_semdedup" -> VectorOps.embSemdedupSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_resize" -> Multimodal.mmResizeSql,

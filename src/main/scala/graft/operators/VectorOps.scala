@@ -411,6 +411,72 @@ object VectorOps {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with `lloyd`, then compare vectors only WITHIN a
+    * cluster — high-cosine pairs land in the same Voronoi cell, so the
+    * candidate join is an equijoin on cell id, never all-pairs. Emits one
+    * row per dropped vector: its lowest-id qualifying keeper and that
+    * cosine. At 100 TB the cell count scales with the corpus (cells ~
+    * sqrt(N) keeps occupancy bounded) and the per-cell self-join is the
+    * same bounded shape as the MinHash band join.
+    */
+  def embSemdedup(spark: SparkSession, sfDir: String): DataFrame =
+    embSemdedup(spark, sfDir, cells = 16, iters = 2, thr = 0.3)
+
+  def embSemdedup(spark: SparkSession, sfDir: String,
+                  cells: Int, iters: Int, thr: Double): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).persist()
+    val piv = lloyd(e, cells, iters)._1
+      .select(col("c_id").as("p_id"), col("cv").as("pv"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val cellAssign = e.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(v, pv)"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("p_id").as("cell"))
+      .persist() // cells assigned once, joined twice
+    val a = cellAssign.select(col("cell"), col("vec_id").as("keep_id"), col("v").as("av"))
+    val b = cellAssign.select(col("cell"), col("vec_id").as("drop_id"), col("v").as("bv"))
+    a.join(b, Seq("cell"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos", expr("cosine_sim(av, bv)"))
+      .filter(col("cos") >= thr)
+      .groupBy(col("drop_id"))
+      .agg(min(struct(col("keep_id"), col("cos"))).as("m"))
+      .select(col("drop_id"), col("m.keep_id").as("keep_id"),
+        round(col("m.cos"), 6).as("cos"))
+  }
+
+  val embSemdedupSql: String =
+    s"""WITH ${kmeansCtes(k = 16, iters = 2)},
+       |piv AS (
+       |  SELECT c_id AS p_id, cv AS pv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> cv[j] * cv[j]))) AS pn
+       |  FROM c2),
+       |cells AS (
+       |  SELECT vec_id, v, vn, p_id AS cell FROM (
+       |    SELECT n.vec_id, n.v, n.vn, piv.p_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
+       |          / (n.vn * piv.pn) DESC, piv.p_id ASC) AS rn
+       |    FROM n, piv)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT b.vec_id AS drop_id, a.vec_id AS keep_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
+       |      / (a.vn * b.vn) AS cos
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
+       |      / (a.vn * b.vn) >= 0.3)
+       |SELECT drop_id, keep_id, round(cos, 6) AS cos FROM (
+       |  SELECT drop_id, keep_id, cos,
+       |    row_number() OVER (PARTITION BY drop_id ORDER BY keep_id ASC, cos ASC) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1""".stripMargin
+
   val embIvfTrainedSql: String =
     s"""WITH ${kmeansCtes(k = 16, iters = 2)},
        |piv AS (

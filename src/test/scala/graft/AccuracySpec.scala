@@ -84,6 +84,20 @@ class AccuracySpec extends SparkSpec {
     assert(members.max <= n * 0.5, "one trained cell holds most of the corpus")
   }
 
+  test("SemDeDup: every within-cluster drop pair is a true >=0.3-cosine pair") {
+    import graft.operators.VectorOps
+    val exhaustive = VectorOps.embNeardupLsh(spark, sf, planes = 0) // all-pairs truth
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = VectorOps.embSemdedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+    assert(sem.nonEmpty)
+    val bogus = sem.filterNot(exhaustive)
+    assert(bogus.isEmpty, s"semdedup emitted non-neardup pairs: ${bogus.take(5)}")
+    info(f"SemDeDup kept ${sem.size} of ${exhaustive.size} true pairs " +
+      f"(cluster-local recall ${sem.size.toDouble / exhaustive.size}%.2f)")
+  }
+
   test("LSH ANN: recall monotone in plane count; 0 planes == exhaustive pair scan") {
     import graft.operators.VectorOps
     def pairs(planes: Int) = VectorOps.embNeardupLsh(spark, sf, planes)
