@@ -384,6 +384,7 @@ object VectorOps {
       .select(col("vec_id"), col("v")).persist()
     val piv = lloyd(e, cells, iters)._1
       .select(col("c_id").as("p_id"), col("cv").as("pv"))
+      .persist() // k rows; barrier so the two broadcasts don't re-train
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("pcos").desc, col("p_id").asc)
     val cellAssign = e.join(broadcast(piv), lit(true))
