@@ -69,6 +69,7 @@ object SparkEntry {
     // Deterministic sampling
     "doc_sample_strat" -> (SampleOps.docSampleStrat _),
     "doc_sample_topk" -> (SampleOps.docSampleTopK _),
+    "doc_sample_weighted" -> (SampleOps.docSampleWeighted _),
     "doc_split" -> (SampleOps.docSplit _),
     // Dedup family
     "dedup_exact" -> (DedupOps.dedupExact _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "doc_rep_2gram" -> TextOps.docRep2gramSql,
     "doc_sample_strat" -> SampleOps.docSampleStratSql,
     "doc_sample_topk" -> SampleOps.docSampleTopKSql,
+    "doc_sample_weighted" -> SampleOps.docSampleWeightedSql,
     "doc_split" -> SampleOps.docSplitSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "minhash_sig" -> DedupOps.minhashSigSql,

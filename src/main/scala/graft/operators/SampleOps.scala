@@ -83,6 +83,37 @@ object SampleOps {
       |    ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 100 AS bucket
       |  FROM documents)""".stripMargin
 
+  /** Quality-weighted Bernoulli sampling: each doc's acceptance
+    * probability is its own quality signal (token distinctness here —
+    * repetitive docs get downweighted), the corpus-mixing primitive
+    * behind "sample high-quality sources more". All math is integer:
+    * p in basis points = (10000 * n_distinct) div n_tokens, keep iff
+    * h32('wsmp|' || id) % 10000 < p — no float rounding to diverge
+    * between engines, and the div-by-zero guard handles empty docs.
+    * Narrow per-row work; the filter fuses into the scan (zero
+    * exchanges), so at 100 TB this is one pass writing survivors.
+    */
+  def docSampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("p_bps",
+        expr("IF(size(t) = 0, 0L, (10000L * size(array_distinct(t))) div size(t))"))
+      .withColumn("h",
+        expr(s"${h32Sql("concat('wsmp|', cast(doc_id as string))")} % 10000"))
+      .filter(col("h") < col("p_bps"))
+      .select(col("doc_id"), col("lang"), col("p_bps"), col("h"))
+
+  val docSampleWeightedSql: String =
+    """SELECT doc_id, lang, p_bps, h FROM (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(t) = 0 THEN 0
+      |         ELSE (10000 * len(list_distinct(t))) // len(t) END AS p_bps,
+      |    ('0x' || substr(md5('wsmp|' || doc_id), 1, 8))::BIGINT % 10000 AS h
+      |  FROM (SELECT doc_id, lang,
+      |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |        FROM documents))
+      |WHERE h < p_bps""".stripMargin
+
   /** Sequence packing (concat-and-chunk): lay documents end-to-end in
     * doc_id order within a language group and cut fixed-capacity
     * training sequences every `Capacity` tokens; emit each doc's start
