@@ -412,6 +412,46 @@ object VectorOps {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Mean-centering, the standard ANN preprocessing step (centered
+    * cosine ≈ Pearson; removes the corpus-wide offset that inflates
+    * all-pairs similarity). One tiny aggregate — the d-dim mean, ≤ d
+    * partial rows per partition, rounded to 6 decimals so it is
+    * engine-exact — broadcast back over a single corpus pass. Emits a
+    * per-vector checksum row (centered norm + component sum), not the
+    * centered matrix: at 100 TB the centered vectors stay columnar in
+    * the executors, like `embQuantize`.
+    */
+  def embCenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+    val mean = e.select(posexplode(col("v")))
+      .groupBy((col("pos") + 1).as("i"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)")
+        .as("mv"))
+    e.join(broadcast(mean), lit(true))
+      .withColumn("c", expr("transform(v, (x, i) -> x - element_at(mv, i + 1))"))
+      .select(col("vec_id"),
+        round(expr("sqrt(aggregate(c, 0D, (a, x) -> a + x * x))"), 6).as("norm_c"),
+        round(expr("aggregate(c, 0D, (a, x) -> a + x)"), 6).as("csum"))
+  }
+
+  val embCenterSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |m AS (
+       |  SELECT list(m ORDER BY i) AS mv FROM (
+       |    SELECT i, round(avg(v[i]), 6) AS m
+       |    FROM v, range(1, ${dims + 1}) t(i) GROUP BY i))
+       |SELECT vec_id,
+       |  round(sqrt(list_sum(list_transform(range(1, ${dims + 1}),
+       |    i -> (v[i] - mv[i]) * (v[i] - mv[i])))), 6) AS norm_c,
+       |  round(list_sum(list_transform(range(1, ${dims + 1}),
+       |    i -> v[i] - mv[i])), 6) AS csum
+       |FROM v, m""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus with `lloyd`, then compare vectors only WITHIN a
     * cluster — high-cosine pairs land in the same Voronoi cell, so the

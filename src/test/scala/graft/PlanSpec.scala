@@ -121,7 +121,7 @@ class PlanSpec extends SparkSpec {
     // doc_boilerplate: 1-row corpus-count cross join for its relative
     // df threshold — a broadcast of one row is the wanted plan
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
-      "emb_ivf_trained", "emb_semdedup")
+      "emb_ivf_trained", "emb_semdedup", "emb_center")
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
