@@ -196,4 +196,49 @@ object EventOps {
       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
       |  FROM events)
       |GROUP BY user_id""".stripMargin
+
+  /** Ordered funnel (view → click → purchase, strictly increasing time):
+    * per user, the first-view time, the first qualifying click after it,
+    * and the first qualifying purchase after that. Computed as ONE
+    * exchange — group events by user, sort the (ts, type) structs, run a
+    * 3-field state machine in an `aggregate` fold. A join-per-stage plan
+    * (the SQL the oracle uses) shuffles the events table once PER STAGE;
+    * the fold shape shuffles once total regardless of stage count, and
+    * its per-user state is 3 longs. The sorted-fold result provably
+    * equals the min-join definition: ascending order makes the first
+    * qualifying event the minimum, and strict `>` makes tie order within
+    * an equal timestamp irrelevant.
+    */
+  def evFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_type")))).as("evs"))
+      .withColumn("s", expr(
+        """aggregate(evs,
+          |  named_struct('ta', -1L, 'tb', -1L, 'tc', -1L),
+          |  (s, e) -> named_struct(
+          |    'ta', IF(s.ta < 0 AND e.event_type = 'view', e.ts_us, s.ta),
+          |    'tb', IF(s.tb < 0 AND s.ta >= 0 AND e.event_type = 'click'
+          |             AND e.ts_us > s.ta, e.ts_us, s.tb),
+          |    'tc', IF(s.tc < 0 AND s.tb >= 0 AND e.event_type = 'purchase'
+          |             AND e.ts_us > s.tb, e.ts_us, s.tc)))""".stripMargin))
+      .filter(col("s.ta") >= 0)
+      .select(col("user_id"), col("s.ta").as("ta"),
+        expr("IF(s.tb < 0, CAST(NULL AS BIGINT), s.tb)").as("tb"),
+        expr("IF(s.tc < 0, CAST(NULL AS BIGINT), s.tc)").as("tc"))
+
+  val evFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |a AS (SELECT user_id, min(ts_us) AS ta FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (SELECT e.user_id, min(ts_us) AS tb FROM e JOIN a USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us > ta GROUP BY e.user_id),
+      |c AS (SELECT e.user_id, min(ts_us) AS tc FROM e JOIN b USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us > tb GROUP BY e.user_id)
+      |SELECT a.user_id, a.ta, b.tb, c.tc
+      |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin
 }
