@@ -229,6 +229,33 @@ object EventOps {
         expr("IF(s.tb < 0, CAST(NULL AS BIGINT), s.tb)").as("tb"),
         expr("IF(s.tc < 0, CAST(NULL AS BIGINT), s.tc)").as("tc"))
 
+  /** Retention cohorts: users grouped by first-seen day, distinct active
+    * users counted at each day offset — the standard retention matrix.
+    * Day arithmetic is integer µs-div (bit-exact across engines). Shape:
+    * distinct (user, day) first so later stages carry one row per
+    * user-day (at 100 TB this collapses the event volume before any
+    * wide work); the first-seen window partitions by user; the final
+    * cohort/offset aggregate is map-side partial — output is |cohorts ×
+    * offsets|, tiny.
+    */
+  def evRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("cohort", min(col("day")).over(w))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val evRetentionSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+      |SELECT c.cohort, d.day - c.cohort AS offset, count(*) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY c.cohort, d.day - c.cohort""".stripMargin
+
   val evFunnelSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
