@@ -25,7 +25,8 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally CacheScope.release() // each run pays its own barrier cost
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -42,6 +43,14 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
+      } finally {
+        // Cache hygiene: operators persist() intermediates for the duration
+        // of one query; without this, blocks from ~40 earlier queries pile
+        // up in the local[32] JVM and squeeze execution memory for later
+        // ones (round-2 q7_except went 0.35s -> 2.02s with zero code change).
+        // CacheScope.release() in once() drops the registered barriers;
+        // this sweep catches anything else (e.g. a failed run's leftovers).
+        spark.catalog.clearCache()
       }
       name -> t
     }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for intra-query materialization barriers.
+  *
+  * Several operators `persist()` a computed intermediate (signature
+  * tables, sign-bit projections, cell assignments) purely so Catalyst's
+  * projection collapse cannot inline an expensive expression chain into
+  * every downstream consumer. Those barriers must outlive the operator
+  * call — the returned DataFrame's plan reads from them lazily — so the
+  * operator itself can never `unpersist()`. Without a scope, a process
+  * that runs many queries (the bench harness, Verify, a notebook
+  * session) accumulates dead cached blocks that squeeze execution
+  * memory (measured in round 2: two queries with UNCHANGED plans slowed
+  * 4-6x purely from ~40 earlier queries' leftover cache).
+  *
+  * `barrier(ds)` persists and registers; `release()` unpersists
+  * everything registered — call it once the frames returned since the
+  * last release have been fully consumed (written out / collected).
+  * Operators that can scope their own cache (eager loops like
+  * connected components) still unpersist locally and never register.
+  */
+object CacheScope {
+  private val live = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
+
+  private val disabled = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  /** Persist `ds` as a barrier and register it for the next `release()`. */
+  def barrier[T](ds: Dataset[T]): Dataset[T] =
+    if (disabled.get) ds
+    else {
+      ds.persist()
+      live.add(ds)
+      ds
+    }
+
+  /** Build a plan with barriers as no-ops — plan-shape tests need the
+    * exchanges a barrier would hide inside an InMemoryRelation. Never
+    * EXECUTE heavy operators under this (the barriers exist to stop
+    * Catalyst's projection collapse from re-inlining expensive chains).
+    */
+  def uncached[T](body: => T): T = {
+    disabled.set(true)
+    try body finally disabled.set(false)
+  }
+
+  /** Unpersist every registered barrier. Safe to call at any time the
+    * caller no longer needs frames produced before this point; barriers
+    * are re-established lazily if such a frame is re-executed.
+    */
+  def release(): Unit = {
+    live.forEach(d => d.unpersist(false))
+    live.clear()
+  }
+}

@@ -43,7 +43,9 @@ object SparkEntry {
     "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
     "q19_pivot" -> (Relational.q19Pivot _),
     "q20_ntile" -> (Relational.q20Ntile _),
+    "q20_approx" -> (Relational.q20Approx _),
     "q21_profile" -> (Relational.q21Profile _),
+    "q21_approx" -> (Relational.q21Approx _),
     "q15_dist" -> (Relational.q15Dist _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
@@ -55,6 +57,8 @@ object SparkEntry {
     "ev_asof_join" -> (Temporal.evAsofJoin _),
     "ev_interarrival" -> (EventOps.evInterarrival _),
     "ev_funnel" -> (EventOps.evFunnel _),
+    "ev_funnel2" -> (EventOps.evFunnel2 _),
+    "ev_funnel4" -> (EventOps.evFunnel4 _),
     "ev_retention" -> (EventOps.evRetention _),
     "ev_session_window" -> (EventOps.evSessionWindow _),
     // Text analysis (training-data pipeline)
@@ -68,6 +72,12 @@ object SparkEntry {
     "doc_df_top" -> (TextOps.docDfTop _),
     "doc_tfidf_top" -> (TextOps.docTfidfTop _),
     "doc_rep_2gram" -> (TextOps.docRep2gram _),
+    // rows-only: deflate has no DuckDB twin (behavioral tests in TextFnsSpec)
+    "doc_compress" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.compressionRatio(
+        Tables.documents(s, dir).select($"doc_id", $"text").as[(Long, String)])
+    }),
     // Deterministic sampling
     "doc_sample_strat" -> (SampleOps.docSampleStrat _),
     "doc_sample_topk" -> (SampleOps.docSampleTopK _),
@@ -83,6 +93,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> (DedupOps.ngramJaccardPairs _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "winnow_fp" -> (DedupOps.winnowFingerprints _),
+    "winnow_pairs" -> (DedupOps.winnowPairs(_, _)),
     "dedup_corpus" -> (DedupOps.dedupCorpus _),
     "doc_boilerplate" -> (DedupOps.docBoilerplate _),
     "doc_decontam" -> (DedupOps.docDecontam _),
@@ -133,7 +144,11 @@ object SparkEntry {
     // q18_approx_distinct: HLL sketch values are engine-specific — no oracle (rows-only check)
     "q19_pivot" -> Relational.q19PivotSql,
     "q20_ntile" -> Relational.q20NtileSql,
+    // q20_approx: sketch-derived decile boundaries are engine-specific — rows-only
+    // check (agreement with exact q20 is asserted in AccuracySpec)
     "q21_profile" -> Relational.q21ProfileSql,
+    // q21_approx: HLL sketch values are engine-specific — rows-only check
+    // (2% bound vs exact q21 is asserted in AccuracySpec)
     "q15_dist" -> Relational.q15DistSql,
     "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_filter" -> EventOps.evFilterSql,
@@ -144,6 +159,8 @@ object SparkEntry {
     "ev_asof_join" -> Temporal.evAsofJoinSql,
     "ev_interarrival" -> EventOps.evInterarrivalSql,
     "ev_funnel" -> EventOps.evFunnelSql,
+    "ev_funnel2" -> EventOps.evFunnel2Sql,
+    "ev_funnel4" -> EventOps.evFunnel4Sql,
     "ev_retention" -> EventOps.evRetentionSql,
     "ev_session_window" -> EventOps.evSessionWindowSql,
     "doc_tokens" -> TextOps.docTokensSql,
@@ -169,6 +186,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> DedupOps.ngramJaccardPairsSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "winnow_fp" -> DedupOps.winnowFingerprintsSql,
+    "winnow_pairs" -> DedupOps.winnowPairsSql,
     "dedup_corpus" -> DedupOps.dedupCorpusSql,
     "doc_boilerplate" -> DedupOps.docBoilerplateSql,
     "doc_decontam" -> DedupOps.docDecontamSql,

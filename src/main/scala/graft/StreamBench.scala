@@ -69,8 +69,11 @@ object StreamBench {
       val outRows = spark.table(qn).count()
       // end-to-end micro-batch latency (BASELINE.md protocol): median
       // triggerExecution over the data-carrying batches
+      // durationMs may lack the key for some batch types — Option() out
+      // the null before unboxing (an unconditional .toLong would NPE)
       val lat = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-        .map(_.durationMs.get("triggerExecution").toLong).sorted
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sorted
       val p50 = if (lat.isEmpty) -1L else lat(lat.size / 2)
       q.stop()
       (name, (frames.length - 1000) / secs, outRows, p50)

@@ -92,18 +92,58 @@ object FileIO {
     * op — streaming sinks and fine-grained partitioning accumulate
     * kilobyte files whose per-file open/footer cost dominates scans at
     * 100 TB (and whose count explodes the driver's file index).
-    * `coalesce` (not `repartition`) — narrow, no shuffle: each output
-    * task concatenates a set of input files.
+    *
+    * Flat layout: `coalesce` (not `repartition`) — narrow, no shuffle;
+    * each output task concatenates a set of input files. Hive-partitioned
+    * layout (`col=value` subdirectories) is detected and PRESERVED: the
+    * rewrite hashes rows onto ≤ nFiles tasks BY the partition columns (so
+    * each partition value lands in exactly one task → one output file per
+    * directory) and writes with `partitionBy`, keeping directory pruning
+    * intact for downstream readers.
+    *
+    * Crash safety: the rewrite goes to `<path>_compact_tmp`, the original
+    * is renamed aside to `<path>_compact_old`, tmp is promoted, THEN the
+    * old copy is deleted — at every crash point at least one complete
+    * copy of the dataset exists under a well-known name (rename-aside,
+    * never delete-before-promote).
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
-    val fsPath = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val fsPath = new Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(fsPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + "_compact_tmp"
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    fs.delete(fsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+
+    // Hive-partition detection: descend while every data child is one
+    // `col=value` directory level, collecting the column chain in order.
+    @annotation.tailrec
+    def partitionChain(p: Path, acc: List[String]): List[String] = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      val cols = dirs.map(_.split("=", 2)).collect { case Array(c, _) => c }.distinct
+      if (dirs.nonEmpty && dirs.forall(_.contains("=")) && cols.length == 1)
+        partitionChain(new Path(p, dirs.head), acc :+ cols.head)
+      else acc
+    }
+    val partCols = partitionChain(fsPath, Nil)
+
+    val tmp = new Path(path.stripSuffix("/") + "_compact_tmp")
+    val old = new Path(path.stripSuffix("/") + "_compact_old")
+    val df = spark.read.parquet(path)
+    if (partCols.isEmpty)
+      df.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    else
+      df.repartition(nFiles, partCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+
+    fs.delete(old, true)
+    if (!fs.rename(fsPath, old))
+      sys.error(s"compact: could not move $path aside to $old")
+    if (!fs.rename(tmp, fsPath)) {
+      fs.rename(old, fsPath) // roll back: restore the untouched original
+      sys.error(s"compact: could not promote $tmp to $path (original restored)")
+    }
+    fs.delete(old, true)
   }
 }

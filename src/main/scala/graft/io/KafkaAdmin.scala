@@ -41,11 +41,14 @@ object KafkaAdmin {
   def createTopics(props: Properties): Seq[TopicSpec] = {
     val specs = topicSpecs(props)
     if (specs.isEmpty) return Nil
+    // no broker address → nothing to administer (Properties.put would NPE)
+    val bootstrap = props.getProperty("bootstrap.servers")
+    if (bootstrap == null) return Nil
     try {
       val adminCls = Class.forName("org.apache.kafka.clients.admin.AdminClient")
       val topicCls = Class.forName("org.apache.kafka.clients.admin.NewTopic")
       val adminProps = new Properties()
-      adminProps.put("bootstrap.servers", props.getProperty("bootstrap.servers"))
+      adminProps.put("bootstrap.servers", bootstrap)
       val admin = adminCls.getMethod("create", classOf[Properties])
         .invoke(null, adminProps)
       try {
@@ -61,7 +64,14 @@ object KafkaAdmin {
         specs
       } finally adminCls.getMethod("close").invoke(admin)
     } catch {
-      case _: ClassNotFoundException => Nil // no Kafka client jar — broker auto-create applies
+      // Best-effort like the reference (it ignores creation results): a
+      // missing client jar means broker auto-create applies, and any
+      // reflective/client failure (misconfig, unreachable broker) must
+      // not take the app down at startup — log and continue.
+      case _: ClassNotFoundException => Nil
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[kafka-admin] topic creation skipped: $e")
+        Nil
     }
   }
 }

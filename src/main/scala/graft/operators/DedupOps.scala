@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import graft.{CacheScope, Tables}
 import graft.functions.JaccardSimilarity
 import graft.functions.TextFns._
 
@@ -56,7 +57,7 @@ object DedupOps {
       .withColumn("sh", expr(shingles3Sql("t")))
       .withColumn("hs", expr(hashArraySql("sh")))
       .select(col("doc_id"), col("sh"), col("hs"))
-      .persist()
+      .transform(CacheScope.barrier)
     (0 until 8).foldLeft(base) { (d, i) =>
       d.withColumn(s"m$i", expr(minhashSql("hs", i)))
     }
@@ -179,7 +180,7 @@ object DedupOps {
       .withColumn("t", tokens(col("text")))
       .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
       .select(col("doc_id"), col("lang"), expr(simhash32Sql("th")).as("simhash"))
-      .persist()
+      .transform(CacheScope.barrier)
     val a = sim.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
     val b = sim.select(col("doc_id").as("b_id"), col("lang"), col("simhash").as("sb"))
     a.join(b, Seq("lang"))
@@ -209,7 +210,7 @@ object DedupOps {
       .withColumn("t", tokens(col("text")))
       .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
       .select(col("doc_id"), expr(simhash32Sql("th")).as("simhash"))
-      .persist() // barrier: the 32-fold sketch is computed once, not per side
+      .transform(CacheScope.barrier) // the 32-fold sketch is computed once, not per side
     val chunks = sim.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), j -> named_struct(" +
@@ -261,11 +262,10 @@ object DedupOps {
         expr("aggregate(fp, 0L, (a, x) -> a ^ x)").as("fp_xor"))
   }
 
-  val winnowFingerprintsSql: String =
-    """SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min,
-      |  list_reduce(list_prepend(0::BIGINT, fp), (a, x) -> xor(a, x)) AS fp_xor
-      |FROM (
-      |  SELECT doc_id,
+  /** DuckDB twin of the winnow_fp kernel: per doc the distinct
+    * window-of-8 minima over the Karp-Rabin char-4-gram hash sequence. */
+  private val winnowFpsSub: String =
+    """SELECT doc_id,
       |    list_distinct(list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
       |      i -> list_min(hs[i:i+7]))) AS fp
       |  FROM (
@@ -276,7 +276,63 @@ object DedupOps {
       |             + ascii(substr(norm, i + 2, 1)) * 257::BIGINT
       |             + ascii(substr(norm, i + 3, 1))) * 2654435761) % 4294967296) AS hs
       |    FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-      |          FROM documents)))""".stripMargin
+      |          FROM documents))""".stripMargin
+
+  val winnowFingerprintsSql: String =
+    s"""SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS fp_min,
+       |  list_reduce(list_prepend(0::BIGINT, fp), (a, x) -> xor(a, x)) AS fp_xor
+       |FROM (
+       |  $winnowFpsSub)""".stripMargin
+
+  /** Winnowing near-dup PAIRS — the MOSS use case winnow_fp's per-doc
+    * stats feed into: two docs sharing fingerprints share a guaranteed
+    * ≥ 11-char substring (quote / template / copy-paste overlap that
+    * whole-doc digests and shingle sketches miss). Posting-list shape:
+    * explode (doc_id, fp) — 16 bytes/row, the same slim-exchange
+    * discipline as the MinHash band join (text never rides a shuffle) —
+    * then drop fingerprints appearing in more than `maxDf` docs (MOSS's
+    * "too common to be interesting" rule; at 100 TB this is ALSO the
+    * quadratic-bucket bound: posting-list join cost is Σ df², so capping
+    * df caps the join), self-join on fingerprint, count shared fps per
+    * pair. The df cap is ONE window count over the fp partitioning the
+    * join reuses — a single exchange end-to-end (PlanSpec-asserted).
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairs(spark, sfDir, maxDf = 8)
+
+  def winnowPairs(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
+    graft.functions.WinnowKernel.register(spark)
+    val posts = Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"), expr("winnow_fp(norm)").as("fp"))
+      // barrier BEFORE the explode: GenerateExec re-evaluates an inline
+      // generator child per output element (the round-2 quadratic trap)
+      .transform(CacheScope.barrier)
+      .select(col("doc_id"), explode(col("fp")).as("f"))
+    val rare = posts
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy(col("f"))))
+      .filter(col("dfreq") <= maxDf)
+      .select(col("doc_id"), col("f"))
+      .transform(CacheScope.barrier) // joined as both sides below
+    val a = rare.select(col("doc_id").as("a_id"), col("f"))
+    val b = rare.select(col("doc_id").as("b_id"), col("f"))
+    a.join(b, Seq("f"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(fp) AS f FROM (
+       |  $winnowFpsSub)),
+       |rare AS (
+       |  SELECT doc_id, f FROM (
+       |    SELECT doc_id, f, count(*) OVER (PARTITION BY f) AS dfreq FROM ex)
+       |  WHERE dfreq <= 8)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   /** Connected components over an undirected pair graph — min-label
     * propagation. Each iteration is ONE shuffle (edge⋈label + min-agg);
@@ -415,7 +471,7 @@ object DedupOps {
         // jaccard_sorted needs one O(n+m) scan per pair, no hash builds
         sort_array(array_distinct(
           expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
-      .persist() // barrier: gram-hash sets materialized once, not per pair
+      .transform(CacheScope.barrier) // gram-hash sets materialized once, not per pair
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"), col("gr").as("ga"))
     val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"), col("gr").as("gb"))
     a.join(b, Seq("lang", "lenb"))
@@ -455,7 +511,7 @@ object DedupOps {
       .withColumn("ghs", array_distinct(
         expr(s"transform(${shinglesWSql("t", w)}, s -> ${h32Sql("s")})")))
       .select(col("doc_id"), col("ghs"))
-      .persist()
+      .transform(CacheScope.barrier)
 
   /** Corpus-frequency boilerplate detection (the C4/CCNet repeated-span
     * filter adapted to newline-less docs): a token 3-gram is boilerplate

@@ -197,37 +197,88 @@ object EventOps {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
-  /** Ordered funnel (view → click → purchase, strictly increasing time):
-    * per user, the first-view time, the first qualifying click after it,
-    * and the first qualifying purchase after that. Computed as ONE
-    * exchange — group events by user, sort the (ts, type) structs, run a
-    * 3-field state machine in an `aggregate` fold. A join-per-stage plan
-    * (the SQL the oracle uses) shuffles the events table once PER STAGE;
-    * the fold shape shuffles once total regardless of stage count, and
-    * its per-user state is 3 longs. The sorted-fold result provably
-    * equals the min-join definition: ascending order makes the first
-    * qualifying event the minimum, and strict `>` makes tie order within
-    * an equal timestamp irrelevant.
+  /** Ordered n-stage funnel (strictly increasing time): per user, the
+    * first stage-0 event time t0, then for each later stage i the first
+    * stage-i event with ts > t(i-1). `tb = min(click ts : ts > ta)` etc. —
+    * the min-join definition directly, computed as ONE exchange: events
+    * hash-partition on user once, then one whole-partition `min(when(...))`
+    * window per stage reuses that partitioning and ordering (one Sort, n
+    * WindowExec, final agg — zero further exchanges; PlanSpec-asserted).
+    * A join-per-stage plan (the SQL the oracle uses) shuffles the events
+    * table once PER STAGE instead.
+    *
+    * Memory is bounded: each WindowExec buffers one user's rows in a
+    * spill-capable ExternalAppendOnlyUnsafeRowArray (disk beyond
+    * `spark.sql.windowExec.buffer.spill.threshold`), so a hot user with
+    * millions of events spills rather than OOMing the task — unlike a
+    * `collect_list` fold, whose per-group aggregation buffer lives
+    * entirely in the heap. A null t(i-1) nulls the stage-i condition, so
+    * min() skips the row and incompleteness propagates down the funnel.
     */
+  def funnelStages(df: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    val base = df.filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol), expr(s"$tsCol div 1000").as("ts_us"), col(typeCol))
+    val staged = stages.zipWithIndex.foldLeft(base) { case (d, (st, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === lit(st)
+        else col(typeCol) === lit(st) && col("ts_us") > col(s"__t${i - 1}")
+      d.withColumn(s"__t$i", min(when(cond, col("ts_us"))).over(w))
+    }
+    // window columns are constant per user; the agg dedups to one row
+    // on the partitioning already in place (no second exchange)
+    staged.groupBy(col(userCol))
+      .agg(min(col("__t0")).as("t0"),
+        stages.indices.drop(1).map(i => min(col(s"__t$i")).as(s"t$i")): _*)
+      .filter(col("t0").isNotNull)
+  }
+
   def evFunnel(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_type")))).as("evs"))
-      .withColumn("s", expr(
-        """aggregate(evs,
-          |  named_struct('ta', -1L, 'tb', -1L, 'tc', -1L),
-          |  (s, e) -> named_struct(
-          |    'ta', IF(s.ta < 0 AND e.event_type = 'view', e.ts_us, s.ta),
-          |    'tb', IF(s.tb < 0 AND s.ta >= 0 AND e.event_type = 'click'
-          |             AND e.ts_us > s.ta, e.ts_us, s.tb),
-          |    'tc', IF(s.tc < 0 AND s.tb >= 0 AND e.event_type = 'purchase'
-          |             AND e.ts_us > s.tb, e.ts_us, s.tc)))""".stripMargin))
-      .filter(col("s.ta") >= 0)
-      .select(col("user_id"), col("s.ta").as("ta"),
-        expr("IF(s.tb < 0, CAST(NULL AS BIGINT), s.tb)").as("tb"),
-        expr("IF(s.tc < 0, CAST(NULL AS BIGINT), s.tc)").as("tc"))
+    funnelStages(Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t0").as("ta"), col("t1").as("tb"),
+        col("t2").as("tc"))
+
+  /** Min-join oracle for an n-stage funnel: stage CTE chain, each joining
+    * the previous stage's first-qualifying time (exactly the definition
+    * `funnelStages` computes in one exchange).
+    */
+  def funnelOracleSql(stages: Seq[String], cols: Seq[String]): String = {
+    val e = s"""e AS (
+               |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+               |  FROM events WHERE event_type IN (${stages.map("'" + _ + "'").mkString(", ")}))"""
+    val s0 = s"""s0 AS (SELECT user_id, min(ts_us) AS ${cols.head} FROM e
+                |      WHERE event_type = '${stages.head}' GROUP BY user_id)"""
+    val rest = stages.indices.drop(1).map { i =>
+      s"""s$i AS (SELECT e.user_id, min(ts_us) AS ${cols(i)} FROM e JOIN s${i - 1} USING (user_id)
+         |      WHERE event_type = '${stages(i)}' AND ts_us > ${cols(i - 1)} GROUP BY e.user_id)"""
+    }
+    val joins = stages.indices.drop(1).map(i => s"LEFT JOIN s$i USING (user_id)")
+    s"""WITH ${(Seq(e, s0) ++ rest).mkString(",\n")}
+       |SELECT s0.user_id, ${cols.mkString(", ")}
+       |FROM s0 ${joins.mkString(" ")}""".stripMargin
+  }
+
+  /** 2-stage funnel (view → purchase): the degenerate case — one
+    * conditional-min window per stage, same single exchange. */
+  def evFunnel2(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStages(Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+      Seq("view", "purchase"))
+
+  val evFunnel2Sql: String = funnelOracleSql(Seq("view", "purchase"), Seq("t0", "t1"))
+
+  /** 4-stage funnel (signup → view → click → purchase): stage count only
+    * adds WindowExec passes over the already-partitioned data, never
+    * another shuffle of the events table. */
+  def evFunnel4(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStages(Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+
+  val evFunnel4Sql: String =
+    funnelOracleSql(Seq("signup", "view", "click", "purchase"),
+      Seq("t0", "t1", "t2", "t3"))
 
   /** Retention cohorts: users grouped by first-seen day, distinct active
     * users counted at each day offset — the standard retention matrix.

@@ -494,9 +494,9 @@ object Relational {
   /** q20: ntile — equi-depth decile assignment (customer value tiers).
     * One window sort on the balance; the tiebreak on key makes tile
     * boundaries deterministic across engines. A window without
-    * PARTITION BY funnels one sort task — at 100 TB use sketch
-    * quantiles (q15_approx style) for global tiers or shard by a coarse
-    * partition key first; this query is the operator-coverage form.
+    * PARTITION BY funnels one sort task — at 100 TB use the shipped
+    * sketch twin `q20_approx` (boundary lookup, no global sort); this
+    * query is the operator-coverage / oracle form.
     */
   def q20Ntile(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
@@ -509,6 +509,29 @@ object Relational {
     """SELECT c_custkey, c_acctbal,
       |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
       |FROM customer""".stripMargin
+
+  /** q20_approx: the 100 TB-scale decile path. Exact `ntile` without a
+    * PARTITION BY funnels the entire table through ONE sort task; here
+    * the 9 decile boundaries come from one bounded-memory
+    * `approx_percentile` sketch (a 1-row aggregate, broadcast back over
+    * a cross join — the q15_approx pattern applied to tier ASSIGNMENT),
+    * and each row's decile is a 9-element scan of that array. No global
+    * sort, no single-task funnel, fully map-side after the tiny agg.
+    * Sketch boundaries are engine-specific → rows-only driver check;
+    * agreement with exact q20 is asserted in AccuracySpec (ties at a
+    * boundary may legitimately land one tile away — equi-depth splits
+    * ties by rank, boundary lookup cannot).
+    */
+  def q20Approx(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val bounds = c.agg(expr(
+      "approx_percentile(c_acctbal, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9), 10000)")
+      .as("bs"))
+    c.join(broadcast(bounds), lit(true))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (expr("size(filter(bs, b -> b < c_acctbal))") + 1).cast("int").as("decile"))
+  }
 
   /** q21: table profiling — the stats pass a pipeline runs before
     * committing to a layout (row counts, key cardinalities, value
@@ -536,4 +559,22 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price
       |FROM lineitem""".stripMargin
+
+  /** q21_approx: the profiling pass as it should run at 100 TB — the two
+    * exact count-distincts (an Expand ×3 row multiply + per-key exact
+    * state, q21's scale concern) replaced by HLL++ sketches: one scan,
+    * single partial+final agg, bounded memory. Sketch values are
+    * engine-specific → rows-only driver check; the ≤2% error vs exact
+    * q21 is asserted in AccuracySpec (the q18 pattern).
+    */
+  def q21Approx(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
+        min(col("l_shipdate").cast("date")).cast("string").as("min_ship"),
+        max(col("l_shipdate").cast("date")).cast("string").as("max_ship"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
 }

@@ -217,12 +217,14 @@ object TextOps {
     * cross-engine last-ulp differences in `ln`; the float score itself is
     * emitted rounded. Shuffle discipline: tf aggregates on (doc, token),
     * df reuses the tf table (one extra token-keyed agg + join), the final
-    * rank windows on doc_id. Corpus size N is a driver-side metadata
-    * count (never a per-row subquery).
+    * rank windows on doc_id. Corpus size N is a 1-row aggregate broadcast
+    * over a cross join — part of the same job, never a driver-blocking
+    * `count()` that would scan the corpus once more per invocation.
     */
   def docTfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = Tables.documents(spark, sfDir).count()
+    val n = Tables.documents(spark, sfDir)
+      .groupBy().agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), explode(col("t")).as("token"))
@@ -231,10 +233,11 @@ object TextOps {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
     tf.join(dfT, Seq("token"))
+      .join(broadcast(n), lit(true))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("score"))
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"))
   }
 
   val docTfidfTopSql: String =

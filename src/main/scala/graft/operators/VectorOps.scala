@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.functions.{CosineSimilarity, TextFns}
 import graft.functions.TextFns.h32Sql
 
@@ -93,7 +93,7 @@ object VectorOps {
     val e = withVec(Tables.embeddings(spark, sfDir))
       .withColumn("bucket",
         if (planes == 0) lit(0L) else expr(bucketSql(planes)))
-      .persist() // barrier: 384 digests/row computed once, not per join side
+      .transform(CacheScope.barrier) // 384 digests/row computed once, not per join side
     val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -138,7 +138,7 @@ object VectorOps {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .withColumn("bucket", expr(bucketSql(planes)))
-      .persist() // barrier: sign-bit projections computed once
+      .transform(CacheScope.barrier) // sign-bit projections computed once
     val probeArr = (Seq("bucket") ++
       (0 until planes).map(p => s"bucket ^ ${1L << p}L")).mkString("array(", ", ", ")")
     val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
@@ -177,7 +177,7 @@ object VectorOps {
   def embIvfKnn(spark: SparkSession, sfDir: String, cells: Int, nprobe: Int): DataFrame = {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("v")).persist()
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
     val piv = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
     val wCell = Window.partitionBy(col("vec_id"))
@@ -315,7 +315,7 @@ object VectorOps {
   def embKmeans(spark: SparkSession, sfDir: String, k: Int, iters: Int): DataFrame = {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("v")).persist()
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
     val (cent, assign) = lloyd(e, k, iters)
     val counts = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
     cent.join(counts, Seq("c_id"))
@@ -381,10 +381,10 @@ object VectorOps {
                     cells: Int, iters: Int, nprobe: Int): DataFrame = {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("v")).persist()
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
     val piv = lloyd(e, cells, iters)._1
       .select(col("c_id").as("p_id"), col("cv").as("pv"))
-      .persist() // k rows; barrier so the two broadcasts don't re-train
+      .transform(CacheScope.barrier) // k rows; so the two broadcasts don't re-train
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("pcos").desc, col("p_id").asc)
     val cellAssign = e.join(broadcast(piv), lit(true))
@@ -468,7 +468,7 @@ object VectorOps {
                   cells: Int, iters: Int, thr: Double): DataFrame = {
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("v")).persist()
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
     val piv = lloyd(e, cells, iters)._1
       .select(col("c_id").as("p_id"), col("cv").as("pv"))
     val wCell = Window.partitionBy(col("vec_id"))
@@ -478,7 +478,7 @@ object VectorOps {
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("p_id").as("cell"))
-      .persist() // cells assigned once, joined twice
+      .transform(CacheScope.barrier) // cells assigned once, joined twice
     val a = cellAssign.select(col("cell"), col("vec_id").as("keep_id"), col("v").as("av"))
     val b = cellAssign.select(col("cell"), col("vec_id").as("drop_id"), col("v").as("bv"))
     a.join(b, Seq("cell"))

@@ -37,6 +37,35 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("q20_approx deciles agree with exact ntile (±1 tile at sketch boundaries)") {
+    val exact = Relational.q20Ntile(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val approx = Relational.q20Approx(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    val diffs = exact.map { case (k, e) => math.abs(approx(k) - e) }
+    // boundary lookup can't split ties by rank the way equi-depth ntile
+    // does, so rows AT a boundary may land one tile off — never more
+    assert(diffs.max <= 1, s"max decile deviation ${diffs.max} > 1")
+    val agree = diffs.count(_ == 0).toDouble / diffs.size
+    info(f"q20_approx exact-tile agreement: $agree%.3f")
+    assert(agree >= 0.9, s"only $agree of rows on the exact tile")
+  }
+
+  test("q21_approx profile: sketch cardinalities within 2% of exact q21") {
+    val e = Relational.q21Profile(spark, sf).collect().head
+    val a = Relational.q21Approx(spark, sf).collect().head
+    // non-sketch columns are bit-identical
+    Seq("n_rows", "min_ship", "max_ship", "sum_qty", "avg_price").foreach { c =>
+      assert(e.getAs[Any](c) == a.getAs[Any](c), s"$c differs")
+    }
+    Seq("n_orders", "n_parts").foreach { c =>
+      val ev = e.getAs[Long](c); val av = a.getAs[Long](c)
+      assert(math.abs(av - ev).toDouble / ev <= 0.02,
+        s"$c: approx $av vs exact $ev exceeds 2%")
+    }
+  }
+
   test("IVF ANN: recall monotone in nprobe; probing all cells == exact brute force") {
     import graft.operators.VectorOps
     def triples(df: org.apache.spark.sql.DataFrame) = df

@@ -118,10 +118,11 @@ class PlanSpec extends SparkSpec {
     // broadcast pivot set — the two places a broadcast nested-loop IS the
     // wanted plan. ngram_jaccard/simhash block on equijoin keys, LSH on
     // buckets.
-    // doc_boilerplate: 1-row corpus-count cross join for its relative
-    // df threshold — a broadcast of one row is the wanted plan
+    // doc_boilerplate / doc_tfidf_top / q20_approx: 1-row aggregate
+    // (corpus count / sketch boundaries) cross-joined back — a broadcast
+    // of one row is the wanted plan
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
-      "emb_ivf_trained", "emb_semdedup", "emb_center")
+      "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx")
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -148,5 +149,42 @@ class PlanSpec extends SparkSpec {
 
   test("q15_dist: both window specs and the final agg share ONE exchange") {
     assert(countExchanges("q15_dist") == 1)
+  }
+
+  test("funnels: stage count adds windows, never shuffles — ONE exchange") {
+    assert(countExchanges("ev_funnel") == 1, "3-stage funnel")
+    assert(countExchanges("ev_funnel4") == 1, "4-stage funnel")
+  }
+
+  test("q20_approx plans no global sort (the point of the sketch twin)") {
+    val p = plan("q20_approx")
+    assert(!p.contains("Sort ["), s"boundary lookup must not sort:\n$p")
+    assert(countExchanges("q20_approx") <= 1, "only the 1-row sketch agg may exchange")
+  }
+
+  test("winnow_pairs: posting exchange carries only (doc_id, f) — text never shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // uncached + clearCache: a barrier (even one registered by an
+      // EARLIER test building this query) would make the CacheManager
+      // substitute an InMemoryRelation for the subtree holding the
+      // posting exchange, hiding it from this collect
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("winnow_pairs")(spark, sf)
+          .queryExecution.executedPlan
+      }
+      val postShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("f#") => s
+      }
+      assert(postShuffles.nonEmpty, "expected a shuffle partitioned on the fingerprint")
+      postShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(cols.length <= 2 && !cols.exists(c => c.contains("norm") || c.contains("text")),
+          s"posting exchange should be slim (doc_id, f): $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -45,6 +45,39 @@ class FileIOSpec extends SparkSpec {
       back.agg(org.apache.spark.sql.functions.sum($"id")).first().getLong(0) == 49995000L)
   }
 
+  test("compact preserves a Hive-partitioned layout and its pruning") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_io6").toString + "/part"
+    spark.range(0, 2000).select($"id", ($"id" % 3).as("k"))
+      .repartition(16)
+      .write.partitionBy("k").parquet(dir)
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      d.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) dataFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    assert(dataFiles(new java.io.File(dir)).size >= 16)
+    FileIO.compact(spark, dir)
+    // layout preserved: k=0/1/2 directories, one compacted file each
+    val partDirs = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("k=")).map(_.getName).sorted
+    assert(partDirs.toSeq == Seq("k=0", "k=1", "k=2"), partDirs.mkString(", "))
+    assert(dataFiles(new java.io.File(dir)).size <= 3)
+    // values intact and partition pruning still operates on the new layout
+    val back = FileIO.readParquet(spark, dir).filter($"k" === 1)
+    val scans = back.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty)
+    assert(back.count() == 2000 / 3 + (if (1 < 2000 % 3) 1 else 0))
+    val all = FileIO.readParquet(spark, dir)
+    assert(all.count() == 2000 &&
+      all.agg(org.apache.spark.sql.functions.sum($"id")).first().getLong(0) == 1999000L)
+    // no leftover promote/aside directories
+    val base = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+    assert(!base.exists(n => n.contains("_compact")), base.mkString(", "))
+  }
+
   test("writeSorted produces files with disjoint key ranges (data-skipping layout)") {
     val dir = Files.createTempDirectory("graft_io4").toString + "/srt"
     FileIO.writeSorted(
