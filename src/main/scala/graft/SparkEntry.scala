@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_corpus" -> (DedupOps.dedupCorpus _),
     "doc_boilerplate" -> (DedupOps.docBoilerplate _),
     "doc_decontam" -> (DedupOps.docDecontam _),
+    "doc_line_dedup" -> ((s: SparkSession, dir: String) => DedupOps.docLineDedup(s, dir)),
     "doc_pack" -> (SampleOps.docPack _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "dedup_corpus" -> DedupOps.dedupCorpusSql,
     "doc_boilerplate" -> DedupOps.docBoilerplateSql,
     "doc_decontam" -> DedupOps.docDecontamSql,
+    "doc_line_dedup" -> DedupOps.docLineDedupSql,
     "doc_pack" -> SampleOps.docPackSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,

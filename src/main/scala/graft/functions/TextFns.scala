@@ -89,6 +89,18 @@ object TextFns {
   def hashArraySql(arrCol: String): String =
     s"transform($arrCol, s -> ${h32Sql("s")})"
 
+  /** Fixed-width non-overlapping word chunks ("lines" for newline-less
+    * docs) over a token-array column name: ceil(n/c) space-joined chunks,
+    * the last one possibly short. The unit CCNet/C4-style line dedup
+    * hashes — the synthetic corpus has no '\n', so a fixed window stands
+    * in for the paragraph boundary.
+    */
+  def chunksSql(toksCol: String, c: Int): String =
+    s"""IF(size($toksCol) >= 1,
+       |  transform(sequence(0, CAST(ceil(size($toksCol) / $c.0) AS INT) - 1),
+       |    i -> array_join(slice($toksCol, i * $c + 1, $c), ' ')),
+       |  CAST(array() AS ARRAY<STRING>))""".stripMargin
+
   /** MinHash value i over a pre-hashed long-array column. */
   def minhashSql(hashArrCol: String, i: Int): String =
     s"array_min(transform($hashArrCol, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${MinhashP}L))"

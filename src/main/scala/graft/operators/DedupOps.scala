@@ -587,6 +587,71 @@ object DedupOps {
       g.filter(col("doc_id") % 29 === 0))
   }
 
+  /** Line-level (chunk-level) dedup, the CCNet/C4 paragraph pass: hash
+    * each fixed-width word chunk, keep only the corpus-wide FIRST
+    * occurrence of each distinct chunk (min (doc_id, position)), and
+    * rebuild every document from its surviving chunks. This is the
+    * within-document/cross-document sub-document dedup that whole-doc
+    * sketches (MinHash/SimHash) cannot express — reference semantics from
+    * the C4/CCNet cleaning recipes, adapted to newline-less docs via
+    * [[graft.functions.TextFns.chunksSql]].
+    *
+    * Scale shape: the first-occurrence decision is a window over the
+    * chunk hash computed on slim (doc_id, ci, ch) triples — 20 bytes/row
+    * leave the scan stage, never chunk text (PlanSpec-asserted). The
+    * keep-set collapses to one (doc_id, sorted-ci-array) row per doc
+    * before rejoining the corpus, so document text moves through exactly
+    * one exchange (co-partitioning/bucketing by doc_id would eliminate
+    * even that). collect_list is bounded by chunks-per-doc = words/c,
+    * not corpus size.
+    */
+  def docLineDedup(spark: SparkSession, sfDir: String, chunkWords: Int = 8): DataFrame =
+    lineDedup(Tables.documents(spark, sfDir), chunkWords)
+
+  /** Frame-taking core of [[docLineDedup]] — input needs (doc_id, text). */
+  def lineDedup(documents: DataFrame, chunkWords: Int): DataFrame = {
+    val docs = documents
+      .withColumn("t", tokens(col("text")))
+      .withColumn("chunks", expr(chunksSql("t", chunkWords)))
+      .select(col("doc_id"), col("chunks"))
+      .transform(CacheScope.barrier) // consumed twice: slim pass + rebuild
+    val occ = docs
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("ci", "chunk")))
+      .select(col("doc_id"), col("ci"), expr(h32Sql("chunk")).as("ch"))
+    val firstOcc = min(struct(col("doc_id"), col("ci")))
+      .over(Window.partitionBy(col("ch")))
+    val kept = occ
+      .withColumn("first", firstOcc)
+      .filter(col("first.doc_id") === col("doc_id") && col("first.ci") === col("ci"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("ci"))).as("kept"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          expr("array_join(transform(kept, i -> element_at(chunks, i + 1)), ' ')"),
+          lit("")).as("text_clean"))
+  }
+
+  val docLineDedupSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |c0 AS (SELECT doc_id, toks,
+      |    unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS ci FROM t),
+      |c AS (SELECT doc_id, ci,
+      |    array_to_string(toks[ci*8+1 : ci*8+8], ' ') AS chunk FROM c0),
+      |k AS (SELECT doc_id, ci FROM c
+      |  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) = 1),
+      |r AS (SELECT c.doc_id, count(*) AS n_kept,
+      |    string_agg(c.chunk, ' ' ORDER BY c.ci) AS text_clean
+      |  FROM c JOIN k USING (doc_id, ci) GROUP BY c.doc_id),
+      |n AS (SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_chunks FROM t)
+      |SELECT n.doc_id, n.n_chunks, coalesce(r.n_kept, 0) AS n_kept,
+      |  coalesce(r.text_clean, '') AS text_clean
+      |FROM n LEFT JOIN r USING (doc_id)""".stripMargin
+
   val docDecontamSql: String =
     """WITH t AS (SELECT doc_id,
       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks

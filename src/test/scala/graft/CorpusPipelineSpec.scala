@@ -67,4 +67,31 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("line dedup keeps only the corpus-wide first occurrence of a chunk") {
+    import spark.implicits._
+    // chunkWords = 2: doc 1 = [a b][c d], doc 2 = [a b][e f], doc 3 = [c d]
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, chunkWords = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 2)
+    assert(out(1L).getString(3) == "a b c d")
+    // doc 2 loses "a b" (doc 1 owns it), keeps "e f"
+    assert(out(2L).getLong(2) == 1 && out(2L).getString(3) == "e f")
+    // doc 3 loses its only chunk -> empty text survives with n_kept = 0
+    assert(out(3L).getLong(2) == 0 && out(3L).getString(3) == "")
+  }
+
+  test("line dedup keeps the earliest position when a chunk repeats within a doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y z z")).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, chunkWords = 2).collect().head
+    // chunks: [x y][x y][z z] -> first [x y] kept, second dropped
+    assert(out.getLong(1) == 3 && out.getLong(2) == 2)
+    assert(out.getString(3) == "x y z z")
+  }
 }

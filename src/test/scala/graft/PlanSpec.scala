@@ -187,4 +187,27 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("doc_line_dedup: first-occurrence exchange carries only (doc_id, ci, ch)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("doc_line_dedup")(spark, sf)
+          .queryExecution.executedPlan
+      }
+      val chShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("ch#") => s
+      }
+      assert(chShuffles.nonEmpty, "expected a shuffle partitioned on the chunk hash")
+      chShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        // 4th column = the window's pre-projected struct(doc_id, ci) (_w0)
+        assert(cols.length <= 4 && !cols.exists(c => c.contains("chunk") || c.contains("text")),
+          s"chunk-hash exchange should be slim (doc_id, ci, ch, _w0): $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
