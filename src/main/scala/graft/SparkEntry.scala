@@ -98,6 +98,7 @@ object SparkEntry {
     "doc_boilerplate" -> (DedupOps.docBoilerplate _),
     "doc_decontam" -> (DedupOps.docDecontam _),
     "doc_line_dedup" -> ((s: SparkSession, dir: String) => DedupOps.docLineDedup(s, dir)),
+    "doc_decontam_bloom" -> (DedupOps.docDecontamBloom _),
     "doc_pack" -> (SampleOps.docPack _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
@@ -192,6 +193,8 @@ object SparkEntry {
     "doc_boilerplate" -> DedupOps.docBoilerplateSql,
     "doc_decontam" -> DedupOps.docDecontamSql,
     "doc_line_dedup" -> DedupOps.docLineDedupSql,
+    // bloom prefilter + exact confirm == exact decontam, same oracle
+    "doc_decontam_bloom" -> DedupOps.docDecontamSql,
     "doc_pack" -> SampleOps.docPackSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{CacheScope, Tables}
-import graft.functions.JaccardSimilarity
+import graft.functions.{BloomFns, JaccardSimilarity}
 import graft.functions.TextFns._
 
 /** Deduplication family over the `documents` table — the core of a
@@ -583,6 +583,42 @@ object DedupOps {
   def docDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     val g = docGramHashes(spark, sfDir, 5)
     decontaminate(
+      g.filter(col("doc_id") % 29 =!= 0),
+      g.filter(col("doc_id") % 29 === 0))
+  }
+
+  /** Bloom-accelerated decontamination — identical result set to
+    * [[decontaminate]] (bloom false positives are discarded by the exact
+    * confirm join), so it shares the same oracle.
+    *
+    * Scale rationale: the plain version broadcasts the full eval-gram
+    * set into a hash join probed by EVERY training gram. When the eval
+    * suite outgrows the broadcast budget (many benchmarks × many grams),
+    * that join degrades to a corpus-wide shuffle. Here a bloom filter
+    * over the eval grams — a few MB at any benchmark size, built with
+    * Spark's own sketch aggregate — prunes the training gram stream
+    * map-side inside whole-stage codegen (`BloomFilterMightContain`, the
+    * expression InjectRuntimeFilter uses), and only the ~fpp survivors
+    * reach the exact join. The two driver-side jobs (count + bloom
+    * build) run on the EVAL side, which is benchmark-sized by
+    * definition — never on the 100 TB training corpus.
+    */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame,
+                         fpp: Double = 0.01): DataFrame = {
+    BloomFns.register(train.sparkSession)
+    val evalGrams = evalDocs.select(explode(col("ghs")).as("gh")).distinct()
+      .transform(CacheScope.barrier) // consumed 3x: count, bloom, confirm
+    val n = math.max(evalGrams.count(), 1L)
+    val bloomHex = BloomFns.toHex(evalGrams.stat.bloomFilter("gh", n, fpp))
+    train.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .filter(expr(s"bloom_might_contain(x'$bloomHex', gh)"))
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  def docDecontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = docGramHashes(spark, sfDir, 5)
+    decontaminateBloom(
       g.filter(col("doc_id") % 29 =!= 0),
       g.filter(col("doc_id") % 29 === 0))
   }

@@ -188,6 +188,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("doc_decontam_bloom: bloom probe prunes the gram stream below the confirm join") {
+    val phys = SparkEntry.queries("doc_decontam_bloom")(spark, sf)
+      .queryExecution.executedPlan
+    val p = phys.toString
+    assert(p.contains("might_contain"), s"bloom probe missing:\n${p.take(3000)}")
+    // the probe must sit under the join (map-side, pre-exchange), i.e. the
+    // filter appears in the same codegen stage as the scan-side explode,
+    // not above any join operator
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe must be below (deeper than) the confirm join in the plan tree")
+  }
+
+  test("doc_decontam_bloom returns exactly the exact-decontam result") {
+    val exact = SparkEntry.queries("doc_decontam")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = SparkEntry.queries("doc_decontam_bloom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact)
+    CacheScope.release()
+  }
+
   test("doc_line_dedup: first-occurrence exchange carries only (doc_id, ci, ch)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
