@@ -110,6 +110,7 @@ object SparkEntry {
     "emb_ivf_trained" -> (VectorOps.embIvfTrained _),
     "emb_semdedup" -> (VectorOps.embSemdedup _),
     "emb_center" -> (VectorOps.embCenter _),
+    "emb_pq" -> ((s: SparkSession, dir: String) => VectorOps.embPq(s, dir)),
     // Multimodal columns
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_decode" -> (Multimodal.mmDecode _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "emb_ivf_trained" -> VectorOps.embIvfTrainedSql,
     "emb_semdedup" -> VectorOps.embSemdedupSql,
     "emb_center" -> VectorOps.embCenterSql,
+    "emb_pq" -> VectorOps.embPqSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_decode" -> Multimodal.mmDecodeSql,
     "mm_resize" -> Multimodal.mmResizeSql,

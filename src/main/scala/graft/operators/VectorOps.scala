@@ -518,6 +518,136 @@ object VectorOps {
        |  FROM pairs)
        |WHERE rn = 1""".stripMargin
 
+  /** Squared L2 between two double-array column refs via the native
+    * fused-loop expression (sequential index order on both engines, so
+    * distances are bit-identical to the oracle's fold).
+    */
+  private def l2Sql(a: String, b: String): String = s"l2_sq($a, $b)"
+
+  private def l2Duck(a: String, b: String, d: Int): String =
+    s"list_sum(list_transform(range(1, ${d + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Product quantization (the FAISS PQ stage): split each vector into
+    * `m` subspaces, train a k-entry L2 codebook per subspace (same
+    * deterministic Lloyd discipline as [[embKmeans]]: init = k lowest-id
+    * sub-vectors, argmin L2 with lowest-c_id tie-break, per-dimension
+    * mean rounded to 6 decimals per iteration), encode every vector as
+    * `m` byte codes, and answer top-k by asymmetric distance (ADC): the
+    * query stays full-precision, distance = sum over subspaces of the
+    * precomputed query→centroid partials.
+    *
+    * Scale shape: codebooks are m·k·(d/m) = d·k doubles — broadcast
+    * everywhere they appear; training is the [[embKmeans]] per-iteration
+    * shape with the m-fanout folded into the same map-side argmin (one
+    * exchange per iteration regardless of m); the encoded corpus is
+    * m bytes/vector (16× compression at the default m=16 over d=64
+    * float32; 64× at m=4 — the synthetic near-random embeddings need
+    * the finer m=16/k=64 grid for useful recall), which is
+    * the artifact that makes exhaustive search feasible at 100 TB —
+    * the ADC scan reads codes, not vectors, and the per-query LUT
+    * (q × m·k partial distances) broadcasts onto it. The final top-k is
+    * a per-partition window rank, never a global sort.
+    */
+  def embPq(spark: SparkSession, sfDir: String): DataFrame =
+    embPq(spark, sfDir, m = 16, k = 64, iters = 2, topK = 5)
+
+  def embPq(spark: SparkSession, sfDir: String,
+            m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    graft.functions.L2Distance.register(spark)
+    val sd = dims / m
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+    // one row per (vector, subspace): sv = the subspace slice
+    val sub = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS s, slice(v, s * $sd + 1, $sd) AS sv))")).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.sv").as("sv"))
+      .transform(CacheScope.barrier) // consumed per iteration + encode + queries
+    def assignTo(cent: DataFrame): DataFrame =
+      sub.join(broadcast(cent), Seq("s"))
+        .withColumn("d", expr(l2Sql("sv", "cv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d"), col("c_id"))).as("mn"),
+          first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("s"), col("sv"), col("mn.c_id").as("c_id"))
+    var cent = sub.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    (1 to iters).foreach { _ =>
+      cent = assignTo(cent)
+        .select(col("s"), col("c_id"), posexplode(col("sv")))
+        .groupBy(col("s"), col("c_id"), (col("pos") + 1).as("i"))
+        .agg(round(avg(col("col")), 6).as("mc"))
+        .groupBy(col("s"), col("c_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, mc))), z -> z.mc)")
+          .as("cv"))
+    }
+    cent = cent.transform(CacheScope.barrier) // encode + LUT both read it
+    val codes = assignTo(cent).select(col("vec_id"), col("s"), col("c_id").as("code"))
+    val lut = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cent), Seq("s"))
+      .select(col("q_id"), col("s"), col("c_id").as("code"),
+        round(expr(l2Sql("qsv", "cv")), 6).as("pd"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(round(sum(col("pd")), 6).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
+  }
+
+  /** DuckDB twin of [[embPq]] (m=16, k=64, iters=2, top-5). */
+  val embPqSql: String = {
+    val (m, k, sd) = (16, 64, 4)
+    def assignCte(centTable: String): String =
+      s"""SELECT vec_id, s, sv, c_id FROM (
+         |    SELECT sub.vec_id, sub.s, sub.sv, c.c_id,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+         |        ${l2Duck("sub.sv", "c.cv", sd)} ASC, c.c_id ASC) AS rn
+         |    FROM sub JOIN $centTable c USING (s))
+         |  WHERE rn = 1""".stripMargin
+    def updateCte(assignTable: String): String =
+      s"""SELECT s, c_id, list(mc ORDER BY i) AS cv FROM (
+         |    SELECT s, c_id, i, round(avg(sv[i]), 6) AS mc
+         |    FROM $assignTable, range(1, ${sd + 1}) t(i) GROUP BY s, c_id, i)
+         |  GROUP BY s, c_id""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, s, v[s*$sd+1 : s*$sd+$sd] AS sv
+       |  FROM n, range(0, $m) t(s)),
+       |c0 AS (SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < $k),
+       |a1 AS (${assignCte("c0")}),
+       |c1 AS (${updateCte("a1")}),
+       |a2 AS (${assignCte("c1")}),
+       |c2 AS (${updateCte("a2")}),
+       |codes AS (
+       |  SELECT vec_id, s, c_id AS code FROM (
+       |    SELECT sub.vec_id, sub.s, c.c_id,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+       |        ${l2Duck("sub.sv", "c.cv", sd)} ASC, c.c_id ASC) AS rn
+       |    FROM sub JOIN c2 c USING (s))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT sub.vec_id AS q_id, sub.s, c.c_id AS code,
+       |    round(${l2Duck("sub.sv", "c.cv", sd)}, 6) AS pd
+       |  FROM sub JOIN c2 c USING (s) WHERE sub.vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, vec_id AS n_id, round(sum(pd), 6) AS adist
+       |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+       |  WHERE codes.vec_id <> lut.q_id
+       |  GROUP BY q_id, codes.vec_id)
+       |SELECT q_id, rank, n_id, adist FROM (
+       |  SELECT q_id, n_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val embIvfTrainedSql: String =
     s"""WITH ${kmeansCtes(k = 16, iters = 2)},
        |piv AS (

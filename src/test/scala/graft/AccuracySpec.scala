@@ -145,6 +145,48 @@ class AccuracySpec extends SparkSpec {
     assert(r6 > 0.0 && r4 >= r6)
   }
 
+  test("PQ ADC: exact when k >= corpus (own-centroid fixed point); coarse grid degrades") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // exact squared-L2 top-5 ground truth (same metric as ADC)
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("n_id").asc)
+    val exactPairs = emb.select(col("vec_id").as("n_id"), col("v").as("cv"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sf0.001 has 500 vectors; k=512 >= 500 makes every sub-vector its own
+    // centroid after Lloyd, so quantization is lossless (mod 1e-6
+    // rounding) and ADC top-5 == exact-L2 top-5
+    val lossless = pairs(VectorOps.embPq(spark, sf, m = 16, k = 512, iters = 2, topK = 5))
+    val rLossless = lossless.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"PQ recall, k >= n (lossless): $rLossless%.3f")
+    assert(rLossless >= 0.9, s"own-centroid PQ must be ~exact: $rLossless")
+    // the shipped default (m=16, k=64) sits between the extremes
+    val default = pairs(VectorOps.embPq(spark, sf))
+    val rDefault = default.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"PQ recall, default m=16/k=64: $rDefault%.3f")
+    assert(rDefault >= 0.3, s"default-grid recall too low: $rDefault")
+    // a coarse 4x16 grid on near-random vectors loses most neighbors —
+    // the quality/compression dial the scaladoc documents
+    val coarse = pairs(VectorOps.embPq(spark, sf, m = 4, k = 16, iters = 2, topK = 5))
+    val rCoarse = coarse.intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"PQ recall, coarse m=4/k=16: $rCoarse%.3f")
+    assert(rCoarse <= rLossless, "finer-than-corpus grid can't lose to a coarse one")
+    CacheScope.release()
+  }
+
   test("simhash_banded (global, bucketed) ⊇ simhash_neardup (lang-blocked)") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("a_id", "b_id")
       .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
