@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_decontam" -> (DedupOps.docDecontam _),
     "doc_line_dedup" -> ((s: SparkSession, dir: String) => DedupOps.docLineDedup(s, dir)),
     "doc_decontam_bloom" -> (DedupOps.docDecontamBloom _),
+    "dedup_incremental" -> (DedupOps.dedupIncremental _),
     "doc_pack" -> (SampleOps.docPack _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "doc_line_dedup" -> DedupOps.docLineDedupSql,
     // bloom prefilter + exact confirm == exact decontam, same oracle
     "doc_decontam_bloom" -> DedupOps.docDecontamSql,
+    "dedup_incremental" -> DedupOps.dedupIncrementalSql,
     "doc_pack" -> SampleOps.docPackSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,

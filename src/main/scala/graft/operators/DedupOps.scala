@@ -101,14 +101,20 @@ object DedupOps {
     * (shsets riding the band exchange) moves 4 bands × 2 sides ≈ 8× the
     * document-shingle bytes through the shuffle.
     */
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = withSignature(Tables.documents(spark, sfDir))
-    val shs = sig.select(col("doc_id"), array_distinct(col("sh")).as("shset"))
-    val exploded = sig.select(col("doc_id"),
+  /** 4-band × 2-row LSH band hashes of a [[withSignature]] frame:
+    * slim (doc_id, band, bh) rows.
+    */
+  private def bandExplode(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(expr(s"""array(${(0 until 4).map(b =>
         s"named_struct('band', $b, 'bh', ${h32Sql(s"concat('$b|', m${2 * b}, ',', m${2 * b + 1})")})")
         .mkString(", ")})""")).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = withSignature(Tables.documents(spark, sfDir))
+    val shs = sig.select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    val exploded = bandExplode(sig)
     val a = exploded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val b = exploded.select(col("doc_id").as("b_id"), col("band"), col("bh"))
     val cand = a.join(b, Seq("band", "bh"))
@@ -687,6 +693,89 @@ object DedupOps {
       |SELECT n.doc_id, n.n_chunks, coalesce(r.n_kept, 0) AS n_kept,
       |  coalesce(r.text_clean, '') AS text_clean
       |FROM n LEFT JOIN r USING (doc_id)""".stripMargin
+
+  /** Incremental dedup — the nightly-batch pattern: admit an incoming
+    * document increment only if it does NOT near-dup the existing corpus
+    * (MinHash band collision candidates, exact-Jaccard ≥ 0.5 confirm).
+    * One row per increment doc: candidate count, the best corpus match
+    * (highest Jaccard, lowest id on ties), and the admit decision.
+    * Stand-in split: increment = doc_id % 13 == 0, corpus = the rest.
+    *
+    * Scale shape: a production run reads the corpus band table as a
+    * stored artifact (it's the persisted signature base here) — the
+    * 100 TB corpus is touched only through its 20-byte band rows, and
+    * only corpus docs that actually collide with an increment band fetch
+    * their shingle sets for the confirm join (the cand-side join prunes
+    * first). The increment is nightly-sized, so its side of every join
+    * broadcasts under AQE; nothing in the plan is quadratic in corpus
+    * size.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sig = withSignature(docs)
+    val isInc = col("doc_id") % 13 === 0
+    val banded = bandExplode(sig)
+    val cand = banded.filter(isInc).select(col("doc_id").as("n_id"), col("band"), col("bh"))
+      .join(banded.filter(!isInc).select(col("doc_id").as("c_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("n_id"), col("c_id")).distinct()
+    val shs = sig.select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    val matches = cand
+      .join(shs.select(col("doc_id").as("n_id"), col("shset").as("n_sh")), Seq("n_id"))
+      .join(shs.select(col("doc_id").as("c_id"), col("shset").as("c_sh")), Seq("c_id"))
+      .withColumn("jacc",
+        round(size(array_intersect(col("n_sh"), col("c_sh"))).cast("double") /
+          (size(col("n_sh")) + size(col("c_sh"))
+            - size(array_intersect(col("n_sh"), col("c_sh")))), 4))
+      .filter(col("jacc") >= 0.5)
+      .groupBy(col("n_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct((-col("jacc")).as("nj"), col("c_id"))).as("best"))
+      .select(col("n_id").as("doc_id"), col("n_dups"),
+        col("best.c_id").as("best_match"), (-col("best.nj")).as("best_jacc"))
+    docs.filter(isInc).select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_jacc"), lit(0.0)).as("best_jacc"),
+        col("n_dups").isNull.as("admitted"))
+  }
+
+  val dedupIncrementalSql: String =
+    shCte +
+      """, bands AS (
+        |  SELECT doc_id, b.band,
+        |    ('0x' || substr(md5(b.band || '|' ||
+        |       CASE b.band WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END || ',' ||
+        |       CASE b.band WHEN 0 THEN m1 WHEN 1 THEN m3 WHEN 2 THEN m5 ELSE m7 END), 1, 8))::BIGINT AS bh
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |shs AS (SELECT doc_id, list_distinct(sh) AS shset FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS n_id, b.doc_id AS c_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |  WHERE a.doc_id % 13 = 0 AND b.doc_id % 13 != 0),
+        |m0 AS (
+        |  SELECT n_id, c_id,
+        |    round(len(list_intersect(x.shset, y.shset))::DOUBLE /
+        |      (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))), 4) AS jacc
+        |  FROM cand JOIN shs x ON cand.n_id = x.doc_id
+        |            JOIN shs y ON cand.c_id = y.doc_id),
+        |mb AS (
+        |  SELECT n_id, c_id, jacc,
+        |    count(*) OVER (PARTITION BY n_id) AS n_dups,
+        |    row_number() OVER (PARTITION BY n_id ORDER BY jacc DESC, c_id ASC) AS rn
+        |  FROM m0 WHERE jacc >= 0.5),
+        |m AS (
+        |  SELECT n_id AS doc_id, n_dups, c_id AS best_match, jacc AS best_jacc
+        |  FROM mb WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  coalesce(m.n_dups, 0) AS n_dups,
+        |  coalesce(m.best_match, -1) AS best_match,
+        |  coalesce(m.best_jacc, 0.0) AS best_jacc,
+        |  m.n_dups IS NULL AS admitted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) d
+        |LEFT JOIN m USING (doc_id)""".stripMargin
 
   val docDecontamSql: String =
     """WITH t AS (SELECT doc_id,
