@@ -69,6 +69,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "doc_redact" -> (TextOps.docRedact _),
     "doc_ngram_freq" -> (TextOps.docNgramFreq _),
+    "doc_ngram_topk_sketch" -> ((s: SparkSession, dir: String) => TextOps.docNgramTopkSketch(s, dir)),
     "doc_df_top" -> (TextOps.docDfTop _),
     "doc_tfidf_top" -> (TextOps.docTfidfTop _),
     "doc_rep_2gram" -> (TextOps.docRep2gram _),
@@ -174,6 +175,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_redact" -> TextOps.docRedactSql,
     "doc_ngram_freq" -> TextOps.docNgramFreqSql,
+    // capacity >= distinct grams -> Misra-Gries is exact, same oracle
+    "doc_ngram_topk_sketch" -> TextOps.docNgramFreqSql,
     "doc_df_top" -> TextOps.docDfTopSql,
     "doc_tfidf_top" -> TextOps.docTfidfTopSql,
     "doc_rep_2gram" -> TextOps.docRep2gramSql,

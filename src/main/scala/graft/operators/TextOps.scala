@@ -189,6 +189,31 @@ object TextOps {
       |        FROM documents))
       |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin
 
+  /** Top-100 2-grams via a Misra-Gries heavy-hitter summary — the
+    * bounded-state twin of [[docNgramFreq]]. The exact form keeps
+    * |vocabulary| live groups through its shuffle; this one carries at
+    * most `capacity` counters per map task and merges C-sized summaries
+    * on one reducer. With capacity ≥ |distinct grams| the summary is
+    * exact (no decrement ever fires), so the query shares
+    * [[docNgramFreqSql]] as a bit-exact oracle on testdata (931 distinct
+    * 2-grams at sf0.1 vs capacity 4096); the small-capacity error bounds
+    * are pinned in AccuracySpec.
+    */
+  def docNgramTopkSketch(spark: SparkSession, sfDir: String): DataFrame =
+    docNgramTopkSketch(spark, sfDir, capacity = 4096)
+
+  def docNgramTopkSketch(spark: SparkSession, sfDir: String, capacity: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(capacity))
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(explode(expr(grams2Sql("t"))).as("gram"))
+      .agg(mg(col("gram")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("gram"), col("e._2").as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(100)
+  }
+
   /** Document frequency, top-100 tokens — the df table behind idf
     * weighting and df-based stopword/boilerplate filters. `array_distinct`
     * BEFORE the explode keeps per-doc duplicates out of the shuffle

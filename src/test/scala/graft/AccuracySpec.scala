@@ -145,6 +145,35 @@ class AccuracySpec extends SparkSpec {
     assert(r6 > 0.0 && r4 >= r6)
   }
 
+  test("Misra-Gries top-k: exact at large capacity; small-capacity bounds hold") {
+    import graft.operators.TextOps
+    val exactTop = TextOps.docNgramFreq(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val exact = exactTop.toMap
+    // big capacity: no decrement ever fires -> identical to the exact query
+    val big = TextOps.docNgramTopkSketch(spark, sf, capacity = 4096).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(big.toSeq == exactTop.toSeq, "capacity >= distinct grams must be exact")
+    // small capacity: every estimate undercounts by at most N/(C+1), and
+    // every gram with true count > N/(C+1) survives the summary
+    val n = Tables.documents(spark, sf)
+      .selectExpr("sum(greatest(size(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')) - 1, 0)) AS n")
+      .collect().head.getLong(0)
+    val cap = 16
+    val bound = n.toDouble / (cap + 1)
+    val small = TextOps.docNgramTopkSketch(spark, sf, capacity = cap).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"MG: N=$n, C=$cap, error bound=${bound.toInt}, summary size=${small.size}")
+    small.foreach { case (g, est) =>
+      val t = exact.getOrElse(g, est) // grams beyond exact top-100 unknown; skip upper check
+      if (exact.contains(g))
+        assert(est <= t && est >= t - bound, s"$g: est $est vs true $t out of bound $bound")
+    }
+    exactTop.filter(_._2 > bound).foreach { case (g, t) =>
+      assert(small.contains(g), s"heavy hitter $g (count $t > $bound) missing at C=$cap")
+    }
+  }
+
   test("PQ ADC: exact when k >= corpus (own-centroid fixed point); coarse grid degrades") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
