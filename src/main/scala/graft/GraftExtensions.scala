@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, L2Distance, WinnowFingerprint}
+
+/** `SparkSessionExtensions` injection point — the config-driven twin of
+  * [[Graft.init]]: sessions created with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * get the native expressions as SQL functions without any library call,
+  * which is how a shared cluster (Thrift server, notebook gateway,
+  * spark-submit with `--conf`) picks the engine up. Injected functions
+  * land in the session's own registry at build time — no temp-function
+  * mutation, visible to pure-SQL users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: Class[_], usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in"),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("cosine_sim", classOf[CosineSimilarity],
+      "cosine_sim(a, b) - cosine similarity of two array<double>")(
+      es => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction(fn("l2_sq", classOf[L2Distance],
+      "l2_sq(a, b) - squared L2 distance of two array<double>")(
+      es => L2Distance(es(0), es(1))))
+    ext.injectFunction(fn("jaccard_sorted", classOf[JaccardSimilarity],
+      "jaccard_sorted(a, b) - Jaccard similarity of two SORTED arrays")(
+      es => JaccardSimilarity(es(0), es(1))))
+    ext.injectFunction(fn("winnow_fp", classOf[WinnowFingerprint],
+      "winnow_fp(s) - winnowing fingerprints (Karp-Rabin + window min)")(
+      es => WinnowFingerprint(es.head)))
+    ext.injectFunction(fn("bloom_might_contain", classOf[BloomFilterMightContain],
+      "bloom_might_contain(bloom, v) - probe a serialized bloom filter")(
+      es => BloomFilterMightContain(es(0), es(1))))
+  }
+}

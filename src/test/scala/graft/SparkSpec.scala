@@ -15,6 +15,8 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // config-driven injection path, exercised by GraftExtensionsSpec
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${System.nanoTime()}")
