@@ -188,6 +188,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("emb_pq: codebook and LUT joins broadcast; no sort-merge join in the ADC path") {
+    CacheScope.release()
+    spark.catalog.clearCache()
+    val p = CacheScope.uncached {
+      SparkEntry.queries("emb_pq")(spark, sf).queryExecution.executedPlan.toString
+    }
+    assert(p.contains("BroadcastHashJoin"), "centroids/LUT must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in PQ justifies a sort-merge join (codebooks are k*d doubles)")
+  }
+
+  test("dedup_incremental: band exchange carries only (doc_id, band, bh)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("dedup_incremental")(spark, sf)
+          .queryExecution.executedPlan
+      }
+      val bandShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("bh#") => s
+      }
+      assert(bandShuffles.nonEmpty, "expected shuffles partitioned on (band, bh)")
+      bandShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(cols.length <= 3 && !cols.exists(c => c.contains("sh") && c != "bh"),
+          s"band exchange should be slim (id, band, bh): $cols")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("doc_decontam_bloom: bloom probe prunes the gram stream below the confirm join") {
     val phys = SparkEntry.queries("doc_decontam_bloom")(spark, sf)
       .queryExecution.executedPlan
