@@ -46,6 +46,8 @@ object SparkEntry {
     "q20_approx" -> (Relational.q20Approx _),
     "q21_profile" -> (Relational.q21Profile _),
     "q21_approx" -> (Relational.q21Approx _),
+    "q22_exists" -> (Relational.q22Exists _),
+    "q23_not_in" -> (Relational.q23NotIn _),
     "q15_dist" -> (Relational.q15Dist _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
@@ -152,6 +154,8 @@ object SparkEntry {
     // q20_approx: sketch-derived decile boundaries are engine-specific — rows-only
     // check (agreement with exact q20 is asserted in AccuracySpec)
     "q21_profile" -> Relational.q21ProfileSql,
+    "q22_exists" -> Relational.q22ExistsSql,
+    "q23_not_in" -> Relational.q23NotInSql,
     // q21_approx: HLL sketch values are engine-specific — rows-only check
     // (2% bound vs exact q21 is asserted in AccuracySpec)
     "q15_dist" -> Relational.q15DistSql,

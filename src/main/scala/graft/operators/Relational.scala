@@ -577,4 +577,54 @@ object Relational {
         max(col("l_shipdate").cast("date")).cast("string").as("max_ship"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"))
+
+  /** q22: correlated EXISTS through the SQL parser (TPC-H Q4 shape) —
+    * the subquery surface, not the Column API: Catalyst's
+    * RewritePredicateSubquery must turn the correlated predicate into a
+    * left-semi hash join on the correlation key (no per-row subquery
+    * execution exists in a sane distributed plan). Same physical shape
+    * as q4_semi_join, reached from SQL.
+    */
+  def q22Exists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val q22ExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q23: NOT IN — the null-aware anti join. `NOT IN (subquery)` is NOT
+    * a plain anti join: one NULL in the subquery output makes the whole
+    * predicate UNKNOWN and empties the result, so Catalyst plans a
+    * null-aware anti join (broadcast-only in Spark). The customers side
+    * scans once; the subquery side is an aggregated key set that
+    * broadcasts.
+    */
+  def q23NotIn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_custs
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 250000)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val q23NotInSql: String =
+    """SELECT c_mktsegment, count(*) AS n_custs
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_totalprice > 250000)
+      |GROUP BY c_mktsegment""".stripMargin
 }

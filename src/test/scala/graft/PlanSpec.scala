@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q22 EXISTS rewrites to a semi join; q23 NOT IN plans null-aware anti") {
+    val p22 = plan("q22_exists")
+    assert(p22.contains("LeftSemi"), s"EXISTS must become a semi join:\n${p22.take(2000)}")
+    val p23 = plan("q23_not_in")
+    assert(p23.contains("LeftAnti"), s"NOT IN must become an anti join:\n${p23.take(2000)}")
+    // the null-aware marker: BroadcastHashJoinExec prints its
+    // isNullAwareAntiJoin flag as the trailing `true`
+    assert(p23.contains("LeftAnti, BuildRight, true"),
+      s"expected null-aware anti:\n${p23.take(2000)}")
+  }
+
   test("emb_pq: codebook and LUT joins broadcast; no sort-merge join in the ADC path") {
     CacheScope.release()
     spark.catalog.clearCache()
