@@ -51,17 +51,42 @@ object DedupOps {
     * first-class reusable artifact (cache here; checkpoint to storage in a
     * long-lived pipeline).
     */
-  private def withSignature(df: DataFrame): DataFrame = {
-    val base = df
+  private def withSignature(df: DataFrame): DataFrame =
+    withSignature(df, barrier = true)
+
+  /** `barrier = false` skips the persist() — required for STREAMING
+    * inputs (persist is illegal on a streaming plan, and a stream row is
+    * consumed once anyway, so there is nothing to barrier).
+    */
+  private[graft] def withSignature(df: DataFrame, barrier: Boolean): DataFrame = {
+    val proj = df
       .withColumn("t", tokens(col("text")))
       .withColumn("sh", expr(shingles3Sql("t")))
       .withColumn("hs", expr(hashArraySql("sh")))
       .select(col("doc_id"), col("sh"), col("hs"))
-      .transform(CacheScope.barrier)
+    val base = if (barrier) proj.transform(CacheScope.barrier) else proj
     (0 until 8).foldLeft(base) { (d, i) =>
       d.withColumn(s"m$i", expr(minhashSql("hs", i)))
     }
   }
+
+  /** The stored artifacts the incremental/streaming admission paths read
+    * (in production: checkpointed tables, refreshed by the batch dedup
+    * job): slim (doc_id, band, bh) band rows and (doc_id, shset) shingle
+    * sets of the existing corpus.
+    */
+  def corpusBands(docs: DataFrame): DataFrame =
+    bandExplode(withSignature(docs))
+
+  def corpusShingleSets(docs: DataFrame): DataFrame =
+    withSignature(docs).select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+
+  /** Band rows + shingle set of (possibly streaming) documents — the
+    * increment side of the admission join.
+    */
+  def incrementBands(docs: DataFrame): DataFrame =
+    bandExplode(withSignature(docs, barrier = false)
+      .withColumn("shset", array_distinct(col("sh"))), extraCols = Seq("shset"))
 
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
     withSignature(Tables.documents(spark, sfDir))
@@ -102,14 +127,15 @@ object DedupOps {
     * document-shingle bytes through the shuffle.
     */
   /** 4-band × 2-row LSH band hashes of a [[withSignature]] frame:
-    * slim (doc_id, band, bh) rows.
+    * slim (doc_id, band, bh) rows (+ any `extraCols` carried through).
     */
-  private def bandExplode(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"),
+  private def bandExplode(sig: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
+    sig.select(col("doc_id") +: extraCols.map(col) :+
       explode(expr(s"""array(${(0 until 4).map(b =>
         s"named_struct('band', $b, 'bh', ${h32Sql(s"concat('$b|', m${2 * b}, ',', m${2 * b + 1})")})")
-        .mkString(", ")})""")).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+        .mkString(", ")})""")).as("bd"): _*)
+      .select(col("doc_id") +: extraCols.map(col) :+
+        col("bd.band").as("band") :+ col("bd.bh").as("bh"): _*)
 
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = withSignature(Tables.documents(spark, sfDir))
