@@ -104,6 +104,7 @@ object SparkEntry {
     "doc_decontam_bloom" -> (DedupOps.docDecontamBloom _),
     "dedup_incremental" -> (DedupOps.dedupIncremental _),
     "doc_pack" -> (SampleOps.docPack _),
+    "corpus_prepared" -> (CorpusPipeline.corpusPrepared _),
     // Similarity search
     "emb_knn" -> (VectorOps.embKnn _),
     "emb_neardup_lsh" -> (VectorOps.embNeardupLsh _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "doc_decontam_bloom" -> DedupOps.docDecontamSql,
     "dedup_incremental" -> DedupOps.dedupIncrementalSql,
     "doc_pack" -> SampleOps.docPackSql,
+    "corpus_prepared" -> CorpusPipeline.corpusPreparedSql,
     "emb_knn" -> VectorOps.embKnnSql,
     "emb_neardup_lsh" -> VectorOps.embNeardupLshSql,
     "emb_neardup_multiprobe" -> VectorOps.embNeardupMultiprobeSql,
