@@ -48,6 +48,7 @@ object SparkEntry {
     "q21_approx" -> (Relational.q21Approx _),
     "q22_exists" -> (Relational.q22Exists _),
     "q23_not_in" -> (Relational.q23NotIn _),
+    "q24_full_outer" -> (Relational.q24FullOuter _),
     "q15_dist" -> (Relational.q15Dist _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
@@ -157,6 +158,7 @@ object SparkEntry {
     "q21_profile" -> Relational.q21ProfileSql,
     "q22_exists" -> Relational.q22ExistsSql,
     "q23_not_in" -> Relational.q23NotInSql,
+    "q24_full_outer" -> Relational.q24FullOuterSql,
     // q21_approx: HLL sketch values are engine-specific — rows-only check
     // (2% bound vs exact q21 is asserted in AccuracySpec)
     "q15_dist" -> Relational.q15DistSql,

@@ -627,4 +627,36 @@ object Relational {
       |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
       |                        WHERE o_totalprice > 250000)
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** q24: FULL OUTER join — the one join type the suite didn't cover.
+    * Two filtered per-nation aggregates whose key sets only partially
+    * overlap (high-balance customers exist in more nations than
+    * high-balance suppliers), so both null sides are actually exercised.
+    * Both inputs aggregate BEFORE the join — the full outer runs on
+    * ≤ |nations| rows per side, never on the fact tables.
+    */
+  def q24FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"))
+    val supp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supps"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_custs"), lit(0L)).as("n_custs"),
+        coalesce(col("n_supps"), lit(0L)).as("n_supps"))
+  }
+
+  val q24FullOuterSql: String =
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  coalesce(c.n_custs, 0) AS n_custs,
+      |  coalesce(s.n_supps, 0) AS n_supps
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_custs
+      |      FROM customer WHERE c_acctbal > 9900 GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supps
+      |           FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      |ON c.nationkey = s.nationkey""".stripMargin
 }

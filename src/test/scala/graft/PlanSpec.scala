@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan-shape assertions — the `.explain("formatted")` discipline as
   * executable checks. These are the properties SCALE.md claims: filters
   * reach the parquet scan, projections prune columns, small dimensions
@@ -186,6 +188,34 @@ class PlanSpec extends SparkSpec {
           s"posting exchange should be slim (doc_id, f): $cols")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("Catalyst injects a runtime bloom filter into a selective shuffle join") {
+    // the engine-level scale feature doc_decontam_bloom hand-rolls for
+    // pre-built filters: InjectRuntimeFilter plants might_contain on the
+    // probe side of a shuffle join when the build side is selective.
+    // Production thresholds (10MB/10GB) never fire at test scale, so
+    // lower them to demonstrate the plan shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom filter on the probe side:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q22 EXISTS rewrites to a semi join; q23 NOT IN plans null-aware anti") {
