@@ -59,6 +59,7 @@ object SparkEntry {
     "ev_window_agg" -> (EventOps.evWindowAgg _),
     "ev_asof_join" -> (Temporal.evAsofJoin _),
     "ev_interarrival" -> (EventOps.evInterarrival _),
+    "ev_range_frame" -> (EventOps.evRangeFrame _),
     "ev_funnel" -> (EventOps.evFunnel _),
     "ev_funnel2" -> (EventOps.evFunnel2 _),
     "ev_funnel4" -> (EventOps.evFunnel4 _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "ev_window_agg" -> EventOps.evWindowAggSql,
     "ev_asof_join" -> Temporal.evAsofJoinSql,
     "ev_interarrival" -> EventOps.evInterarrivalSql,
+    "ev_range_frame" -> EventOps.evRangeFrameSql,
     "ev_funnel" -> EventOps.evFunnelSql,
     "ev_funnel2" -> EventOps.evFunnel2Sql,
     "ev_funnel4" -> EventOps.evFunnel4Sql,

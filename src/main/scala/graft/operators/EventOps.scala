@@ -197,6 +197,33 @@ object EventOps {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
+  /** Burst detection via a RANGE window frame — the value-based frame
+    * (`RANGE BETWEEN 60s PRECEDING AND CURRENT ROW` over the event-time
+    * axis) that ROWS frames can't express when events are irregularly
+    * spaced: per event, how many of the user's events landed in the
+    * preceding minute; per user, the peak. Same single-exchange shape
+    * as the other per-user windows — the range frame is evaluated
+    * within the sorted partition, and ties on ts are peers (included
+    * regardless of physical order, so the result is deterministic).
+    */
+  def evRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-60000000L, 0L) // past 60 s in µs
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst")).as("max_burst_60s"), count(lit(1)).as("n_events"))
+  }
+
+  val evRangeFrameSql: String =
+    """SELECT user_id, max(burst) AS max_burst_60s, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS burst
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
   /** Ordered n-stage funnel (strictly increasing time): per user, the
     * first stage-0 event time t0, then for each later stage i the first
     * stage-i event with ts > t(i-1). `tb = min(click ts : ts > ta)` etc. —
