@@ -65,6 +65,9 @@ object SparkEntry {
     "ev_funnel4" -> (EventOps.evFunnel4 _),
     "ev_retention" -> (EventOps.evRetention _),
     "ev_session_window" -> (EventOps.evSessionWindow _),
+    "ev_attribution" -> (EventOps.evAttribution _),
+    "ev_transitions" -> (EventOps.evTransitions _),
+    "ev_gapfill" -> (EventOps.evGapfill _),
     // Text analysis (training-data pipeline)
     "doc_tokens" -> (TextOps.docTokens _),
     "doc_tok_bpe" -> (TextOps.docTokBpe _),
@@ -176,6 +179,9 @@ object SparkEntry {
     "ev_funnel2" -> EventOps.evFunnel2Sql,
     "ev_funnel4" -> EventOps.evFunnel4Sql,
     "ev_retention" -> EventOps.evRetentionSql,
+    "ev_attribution" -> EventOps.evAttributionSql,
+    "ev_transitions" -> EventOps.evTransitionsSql,
+    "ev_gapfill" -> EventOps.evGapfillSql,
     "ev_session_window" -> EventOps.evSessionWindowSql,
     "doc_tokens" -> TextOps.docTokensSql,
     "doc_tok_bpe" -> TextOps.docTokBpeSql,

@@ -334,6 +334,118 @@ object EventOps {
       |FROM d JOIN c USING (user_id)
       |GROUP BY c.cohort, d.day - c.cohort""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent preceding touch event (view/click), ties broken by event_id.
+    * ONE exchange: the `last(..., ignoreNulls)` window and the purchase
+    * filter share the per-user partitioning — at 100 TB this is a single
+    * hash-partition of the events table, whereas the equivalent join plan
+    * (the oracle's formulation in spirit) would shuffle touches AND
+    * purchases and build a per-purchase candidate set. Purchases with no
+    * preceding touch keep a null `touch_type` (direct conversions).
+    */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, idCol: String, touches: Seq[String],
+                  target: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("ts_us", expr(s"$tsCol div 1000"))
+      .withColumn("touch_type",
+        last(when(col(typeCol).isin(touches: _*), col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === lit(target))
+  }
+
+  def evAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    attribution(Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+      "event_id", Seq("view", "click"), "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("touch_type"))
+
+  val evAttributionSql: String =
+    """SELECT event_id AS purchase_id, user_id, touch_type FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      |      IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  /** Event-type transition matrix (first-order Markov): count consecutive
+    * (from → to) pairs per user ordering, plus the row-normalized
+    * probability. `lead` shares the single per-user exchange; the
+    * (from, to) aggregate is map-side partial with an output of
+    * |types|² rows — constant, independent of data volume.
+    */
+  def evTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("p",
+      round(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
+  val evTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c""".stripMargin
+
+  /** Hourly gap-fill with last-observation-carried-forward: build each
+    * user's dense hour spine (min..max observed hour), left-join the
+    * hourly sums, and forward-fill misses. The spine is generated
+    * DISTRIBUTED — `sequence(h0, h1)` + `explode` runs per user row, no
+    * driver loop — and its size is bounded by |users| × dataset time
+    * span in hours, independent of event volume (the aggregation to
+    * hourly sums happens FIRST, so 100 TB of raw events collapses
+    * before anything widens). The LOCF window reuses the per-user hash
+    * partitioning the join just produced.
+    */
+  def gapFillLocf(df: DataFrame, userCol: String, tsCol: String,
+                  valCol: String, bucketUs: Long): DataFrame = {
+    val hourly = df
+      .select(col(userCol), expr(s"($tsCol div 1000) div $bucketUs").as("hr"),
+        col(valCol))
+      .groupBy(col(userCol), col("hr"))
+      .agg(round(sum(col(valCol)), 2).as("v"))
+    val spine = hourly.groupBy(col(userCol))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col(userCol), explode(expr("sequence(h0, h1)")).as("hr"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq(userCol, "hr"), "left")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .drop("v")
+  }
+
+  def evGapfill(spark: SparkSession, sfDir: String): DataFrame =
+    gapFillLocf(Tables.events(spark, sfDir), "user_id", "ts", "value",
+      3600000000L)
+
+  val evGapfillSql: String =
+    """WITH a AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |    round(sum(value), 2) AS v
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+      |  FROM a GROUP BY user_id)
+      |SELECT s.user_id, s.hr,
+      |  last_value(a.v IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM s LEFT JOIN a USING (user_id, hr)""".stripMargin
+
   val evFunnelSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_type

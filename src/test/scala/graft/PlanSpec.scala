@@ -158,6 +158,17 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges("ev_funnel4") == 1, "4-stage funnel")
   }
 
+  test("ev_attribution: touch window and purchase filter share ONE exchange") {
+    assert(countExchanges("ev_attribution") == 1)
+  }
+
+  test("ev_transitions: lead window + (from,to) agg = two exchanges, " +
+    "constant-size output") {
+    // per-user lead reuses one hash-partition; the |types|^2 aggregate and
+    // the from_type normalization window repartition tiny data only
+    assert(countExchanges("ev_transitions") <= 3)
+  }
+
   test("q20_approx plans no global sort (the point of the sketch twin)") {
     val p = plan("q20_approx")
     assert(!p.contains("Sort ["), s"boundary lookup must not sort:\n$p")
