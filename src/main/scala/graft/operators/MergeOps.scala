@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MERGE / upsert — the batch CDC-apply surface a training-data pipeline
+  * needs to maintain incrementally refreshed tables (document corpora,
+  * label stores, metadata dims) without a table-format dependency. This is
+  * the QUERY-PLAN form of `MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+  * MATCHED INSERT`: file-level transactionality (Delta/Iceberg style) is a
+  * storage concern; `FileIO.compact` handles the rewrite side.
+  *
+  * Scale notes (100 TB):
+  *   - `upsert` is ONE full-outer shuffle join on the key — both sides
+  *     hash-partition once. When the updates side is small (the common
+  *     CDC case: a day's changes vs years of base), AQE converts it to a
+  *     broadcast and the base never shuffles at all.
+  *   - Row-level (not column-level) precedence: the update row wins
+  *     wholesale when its key is present. Column-level patching would
+  *     require nullability sentinels; callers who need it can project
+  *     before calling.
+  *   - `applyChangelog` collapses a multi-change log to latest-per-key
+  *     FIRST (map-side partial via max_by), so the join never sees more
+  *     than one row per key — the log can be arbitrarily long.
+  */
+object MergeOps {
+
+  /** Latest-wins upsert of `updates` onto `base` by `keys`. Update rows are
+    * complete rows (same schema as base); deletes are not modeled here —
+    * see `applyChangelog` for op-coded logs with deletes.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
+    val hasUpdate = col(s"u.${keys.head}").isNotNull
+    base.as("b").join(updates.as("u"), cond, "full_outer")
+      .select(cols.map(c =>
+        when(hasUpdate, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
+  /** Apply an op-coded changelog (op ∈ upsert|delete, seq = change order):
+    * keep only the latest change per key (max seq), then full-outer join —
+    * latest upsert wins, latest delete drops the row.
+    */
+  def applyChangelog(base: DataFrame, log: DataFrame, keys: Seq[String],
+                     opCol: String, seqCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val latest = log.groupBy(keys.map(col): _*)
+      .agg(max_by(struct((cols.filterNot(keys.contains) :+ opCol).map(col): _*),
+        col(seqCol)).as("__c"))
+      .select(keys.map(col) ++ cols.filterNot(keys.contains)
+        .map(c => col(s"__c.$c").as(c)) :+ col(s"__c.$opCol").as(opCol): _*)
+    val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
+    val hasChange = col(s"u.${keys.head}").isNotNull
+    base.as("b").join(latest.as("u"), cond, "full_outer")
+      .filter(!hasChange || col(s"u.$opCol") =!= lit("delete"))
+      .select(cols.map(c =>
+        when(hasChange, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
+  /** q26: upsert applied to `orders` with a deterministic change set —
+    * every 97th key restated (status R, +10% price), every 101st key
+    * inserted as new (key offset past the domain, status N). Timestamps
+    * exit on the integer epoch-ms axis (cross-engine canonical form).
+    */
+  def q26Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val upd = ord.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val ins = ord.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    upsert(ord, upd.unionByName(ins), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        // o_orderdate reads as TIMESTAMP_NTZ; the session tz is pinned UTC,
+        // so the cast yields the same instant DuckDB's naive epoch_ms sees
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        col("o_orderpriority"))
+  }
+
+  val q26UpsertSql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+      |    round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate,
+      |    o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  epoch_ms(o_orderdate) AS odate_ms, o_orderpriority
+      |FROM (
+      |  SELECT * FROM u
+      |  UNION ALL
+      |  SELECT b.* FROM orders b
+      |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = b.o_orderkey))""".stripMargin
+}

@@ -659,4 +659,47 @@ object Relational {
       |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supps
       |           FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
       |ON c.nationkey = s.nationkey""".stripMargin
+
+  /** q25: TPC-H Q5 shape ("local supplier volume") — the 6-way join with a
+    * NON-hierarchical equality: `c_nationkey = s_nationkey` links two
+    * different dimension paths of the snowflake, which is what
+    * distinguishes it from q2's straight key chain. Plan at 100 TB: the
+    * date filter pushes into the orders scan (partition pruning on a
+    * date-partitioned layout); supplier/nation/region broadcast, so
+    * lineitem shuffles exactly twice (orderkey join, custkey join) and the
+    * customer-nation consistency check rides the broadcast hash join
+    * condition, never a shuffle of its own.
+    */
+  def q25LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === lit("ASIA"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+  }
+
+  val q25LocalSupplierSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
 }
