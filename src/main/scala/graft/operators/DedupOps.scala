@@ -816,4 +816,53 @@ object DedupOps {
       |SELECT doc_id, count(*) AS n_overlap FROM e
       |WHERE doc_id % 29 != 0 AND gh IN (SELECT gh FROM ev)
       |GROUP BY doc_id""".stripMargin
+
+  /** Fuzzy (edit-distance ≤ 1) self-join via deletion neighborhoods —
+    * the standard short-string near-match join (entity keys, titles,
+    * usernames) where shingle sketches are useless because the strings
+    * are shorter than a shingle window.
+    *
+    * Two strings are within edit distance 1 iff they share a key in
+    * {s} ∪ { s minus one character }: an equal pair shares s itself; a
+    * substitution at position i shares the i-deleted variant; an
+    * insert/delete pair shares the shorter string (it IS a deletion
+    * variant of the longer). So candidate generation is L+1 keys per
+    * string — LINEAR, vs the quadratic all-pairs comparison — and the
+    * exchange carries only slim (key-hash, id) pairs. A final
+    * `levenshtein` confirm on the candidates removes same-key false
+    * positives (two different deletions colliding). Keys are hashed to
+    * 64-bit before the shuffle so the exchange never carries the
+    * variant strings themselves.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val ids = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val keys = ids.select(col("id"),
+        explode(array_distinct(concat(
+          array(xxhash64(col("s"))),
+          expr("""transform(sequence(1, greatest(length(s), 1)),
+                 |  i -> xxhash64(concat(substring(s, 1, i - 1), substring(s, i + 1))))"""
+            .stripMargin)))).as("k"))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand.join(ids.as("x"), col("id_a") === col("x.id"))
+      .join(ids.as("y"), col("id_b") === col("y.id"))
+      .filter(levenshtein(col("x.s"), col("y.s")) <= 1)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Edit-distance-1 name pairs over `customer` (the id-bearing short-string
+    * table). The oracle is the quadratic length-banded form — viable at
+    * oracle scale only, which is exactly the point of the linear
+    * neighborhood generation.
+    */
+  def fuzzyNamePairs(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyPairs(Tables.customer(spark, sfDir), "c_custkey", "c_name")
+
+  val fuzzyNamePairsSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 }

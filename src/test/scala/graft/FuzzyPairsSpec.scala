@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Deletion-neighborhood join == brute-force levenshtein ≤ 1, on strings
+  * chosen to exercise every edit kind (substitution, insert, delete,
+  * equal-after-dedup ids, empty and 1-char strings).
+  */
+class FuzzyPairsSpec extends SparkSpec {
+
+  private def bruteForce(xs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- xs; (ib, sb) <- xs
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+  }
+
+  test("fuzzyPairs matches brute force on edit-kind edge cases") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      1L -> "abc", 2L -> "abd",      // substitution
+      3L -> "abcd",                  // insertion vs 1
+      4L -> "ab",                    // deletion vs 1
+      5L -> "xyz",                   // unrelated
+      6L -> "abc",                   // exact duplicate of 1
+      7L -> "",                      // empty
+      8L -> "a",                     // 1-char; ed("", "a") = 1
+      9L -> "b",                     // ed("a","b") = 1
+      10L -> "ba",                   // transposition = ed 2: must NOT pair with "ab"
+      11L -> "aabc"                  // insert at front of 1
+    )
+    val got = DedupOps.fuzzyPairs(rows.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteForce(rows))
+  }
+
+  test("fuzzyPairs matches brute force on a pseudorandom short-string pool") {
+    val s = spark
+    import s.implicits._
+    // deterministic pool with heavy near-collisions (alphabet of 3, len 4-6)
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 120L).map { i =>
+      i -> (1 to (4 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val got = DedupOps.fuzzyPairs(rows.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForce(rows)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+}
