@@ -827,28 +827,33 @@ object DedupOps {
     * substitution at position i shares the i-deleted variant; an
     * insert/delete pair shares the shorter string (it IS a deletion
     * variant of the longer). So candidate generation is L+1 keys per
-    * string — LINEAR, vs the quadratic all-pairs comparison — and the
-    * exchange carries only slim (key-hash, id) pairs. A final
-    * `levenshtein` confirm on the candidates removes same-key false
-    * positives (two different deletions colliding). Keys are hashed to
-    * 64-bit before the shuffle so the exchange never carries the
-    * variant strings themselves.
+    * string — LINEAR, vs the quadratic all-pairs comparison. Variant
+    * keys are hashed to 64-bit and the originals ride along (short by
+    * this operator's domain — entity keys, not documents), so the
+    * `levenshtein` confirm that removes same-key false positives (two
+    * different deletions colliding) runs directly on the joined rows:
+    * one exchange of the keys table, one candidate dedup, zero joins
+    * back. The barrier keeps the L-fold variant expansion from being
+    * recomputed for each join side. The confirm is the native
+    * `ed_within_1` two-pointer kernel — the general `levenshtein` DP
+    * costs ~7 µs/candidate and dominated the whole operator (measured
+    * 7.7 s vs 0.9 s for the confirm pass at sf0.1).
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val ids = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val keys = ids.select(col("id"),
+    graft.functions.EditWithin1.register(df.sparkSession)
+    val keys = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"),
         explode(array_distinct(concat(
           array(xxhash64(col("s"))),
           expr("""transform(sequence(1, greatest(length(s), 1)),
                  |  i -> xxhash64(concat(substring(s, 1, i - 1), substring(s, i + 1))))"""
             .stripMargin)))).as("k"))
-    val cand = keys.as("a").join(keys.as("b"),
+      .transform(CacheScope.barrier)
+    keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand.join(ids.as("x"), col("id_a") === col("x.id"))
-      .join(ids.as("y"), col("id_b") === col("y.id"))
-      .filter(levenshtein(col("x.s"), col("y.s")) <= 1)
-      .select(col("id_a"), col("id_b"))
+      .filter(expr("ed_within_1(a.s, b.s)"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Edit-distance-1 name pairs over `customer` (the id-bearing short-string

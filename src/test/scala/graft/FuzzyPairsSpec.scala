@@ -58,4 +58,42 @@ class FuzzyPairsSpec extends SparkSpec {
     val want = bruteForce(rows)
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("ed_within_1 kernel == (levenshtein <= 1) on random ASCII pairs") {
+    val rnd = new scala.util.Random(7)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def rs(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    // biased pool: random pairs + near pairs (mutations of a shared base)
+    val cases = (1 to 2000).map { _ =>
+      val a = rs(rnd.nextInt(8))
+      val b = rnd.nextInt(3) match {
+        case 0 => rs(rnd.nextInt(8))
+        case 1 => // one random edit of a
+          if (a.isEmpty) rs(1)
+          else {
+            val i = rnd.nextInt(a.length)
+            rnd.nextInt(3) match {
+              case 0 => a.updated(i, ('a' + rnd.nextInt(4)).toChar).mkString
+              case 1 => a.take(i) + a.drop(i + 1)
+              case _ => a.take(i) + ('a' + rnd.nextInt(4)).toChar + a.drop(i)
+            }
+          }
+        case _ => a
+      }
+      (a, b)
+    }
+    cases.foreach { case (a, b) =>
+      val got = graft.functions.EditWithin1.within1(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(got == (lev(a, b) <= 1), s"mismatch on ('$a', '$b'): ed=${lev(a, b)}")
+    }
+  }
 }
