@@ -702,4 +702,49 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
+
+  /** q27: distribution-position windows — `percent_rank` / `cume_dist`
+    * per brand. Ordering by the VALUE only (no tiebreak) keeps tied rows
+    * at identical ranks, so the result is deterministic without a
+    * physical-order assumption. Same single-exchange shape as every
+    * same-spec window stack.
+    */
+  def q27PercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  val q27PercentRankSql: String =
+    """SELECT p_partkey, p_brand,
+      |  round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6) AS pr,
+      |  round(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6) AS cd
+      |FROM part""".stripMargin
+
+  /** q28: fixed-width histogram via `width_bucket` with LITERAL bounds —
+    * the one-pass profiling histogram. Literal bounds (not a min/max
+    * subquery) keep it a single map-side-partial aggregate; a
+    * data-driven-bounds variant is the q20_approx boundary-broadcast
+    * pattern.
+    */
+  def q28Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(width_bucket(col("l_extendedprice"),
+        lit(0d), lit(120000d), lit(24)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+
+  /** Oracle spells out Spark's WidthBucket semantics (DuckDB has no
+    * width_bucket): below-min → 0, ≥ max → n+1, else
+    * floor((v-min)/(max-min)·n)+1 with the same IEEE operation order.
+    */
+  val q28HistogramSql: String =
+    """SELECT CASE WHEN l_extendedprice < 0 THEN 0
+      |            WHEN l_extendedprice >= 120000 THEN 25
+      |            ELSE CAST(floor((l_extendedprice - 0) / 120000 * 24) AS BIGINT) + 1
+      |       END AS bucket,
+      |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem GROUP BY 1""".stripMargin
 }
