@@ -87,6 +87,46 @@ object FileIO {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-ordered write: cluster by the Morton interleave of `cols` so
+    * min/max row-group pruning works for predicates on ANY of the
+    * dimensions — `writeSorted` (linear sort) only prunes its leading
+    * column. Same cost model as `writeSorted`: one range-exchange at
+    * write time. `ZOrderSpec` asserts the pruning quantitatively.
+    *
+    * Dimensions are min/max-scaled to a COMMON bit width before the
+    * interleave — without this, a wide domain monopolizes the high z
+    * bits and the curve degenerates to a linear sort on that column
+    * (e.g. an 11-bit partkey over a 7-bit suppkey leaves the top 4
+    * splits partkey-only). Bounds come from a 1-row aggregate broadcast
+    * back onto the data (never a driver-side collect). Heavily skewed
+    * dimensions would want quantile encoding (the q20_approx boundary
+    * pattern) instead of linear scaling; min/max is the right default
+    * for key-like columns.
+    */
+  def zorderWrite(df: DataFrame, path: String, numFiles: Int,
+                  cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, greatest, lit, max, min}
+    graft.functions.ZValue.register(df.sparkSession)
+    val bits = 63 / cols.length
+    val width = (1L << math.min(bits, 20)) - 1 // 20 bits/dim resolves 1M ranks
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val scaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (d, (c, i)) => d.withColumn(s"__zd$i",
+        ((col(c) - col(s"__min_$c")).cast("double") * width /
+          greatest((col(s"__max_$c") - col(s"__min_$c")).cast("double"), lit(1.0)))
+          .cast("long"))
+    }
+    scaled
+      .withColumn("__z", expr(s"z_value(${cols.indices.map(i => s"__zd$i").mkString(", ")})"))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(cols.indices.map(i => s"__zd$i") ++ Seq("__z") ++
+        cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. The long-running-pipeline hygiene
     * op — streaming sinks and fine-grained partitioning accumulate
