@@ -58,7 +58,55 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 }
 
 object JaccardSimilarity {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", exprs => JaccardSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count_sorted", exprs => IntersectCountSorted(exprs(0), exprs(1)),
+      "built-in")
+  }
+}
+
+/** Same merge pass, returning the raw intersection COUNT — the numerator
+  * of asymmetric containment |A∩B|/|A| (quote/subset detection), where a
+  * shared jaccard denominator would hide one-sided overlap. Registered as
+  * `intersect_count_sorted(a, b)`.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements(); int m = $b.numElements();
+         |int i = 0; int j = 0; long inter = 0L;
+         |while (i < n && j < m) {
+         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
+         |  if (xi == yj) { inter++; i++; j++; }
+         |  else if (xi < yj) { i++; } else { j++; }
+         |}
+         |${ev.value} = inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -528,6 +528,50 @@ object DedupOps {
       |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
       |WHERE jacc >= 0.4""".stripMargin
 
+  /** Asymmetric containment pairs: C(A ⊂ B) = |A∩B| / |A| over the same
+    * blocked char-4-gram sets as `ngramJaccardPairs` — the quote/subset
+    * detector. A short document pasted inside a long one has near-1
+    * containment but LOW jaccard (the union is dominated by the long
+    * side), so a jaccard threshold misses exactly the pairs this query
+    * exists for; consequently blocking is lang-only (containment pairs
+    * have very DIFFERENT lengths — a length-bucket block would discard
+    * them). Same bounded-quadratic caveat and LSH escape hatch as the
+    * jaccard form; the merge-pass kernel keeps the comparator linear.
+    */
+  def ngramContainmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    JaccardSimilarity.register(spark)
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(
+          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+      .transform(CacheScope.barrier)
+    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"))
+    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("ic", expr("intersect_count_sorted(ga, gb)").cast("double"))
+      .select(col("a_id"), col("b_id"),
+        round(col("ic") / size(col("ga")), 4).as("cont_a"),
+        round(col("ic") / size(col("gb")), 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+  }
+
+  val ngramContainmentPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(list_transform(range(1, length(norm) - 2),
+      |      i -> substr(norm, i, 4)), s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS gr
+      |  FROM (SELECT doc_id, lang,
+      |          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |        FROM documents))
+      |SELECT a_id, b_id, cont_a, cont_b FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    round(len(list_intersect(a.gr, b.gr))::DOUBLE / len(a.gr), 4) AS cont_a,
+      |    round(len(list_intersect(a.gr, b.gr))::DOUBLE / len(b.gr), 4) AS cont_b
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
+
   /** Per-doc distinct token w-shingle hashes — the shared front end of
     * the corpus-frequency ops below. `array_distinct` BEFORE the explode
     * makes (doc_id, gh) doc-distinct with zero shuffle. The `persist()`

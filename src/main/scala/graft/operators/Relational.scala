@@ -740,6 +740,29 @@ object Relational {
     * width_bucket): below-min → 0, ≥ max → n+1, else
     * floor((v-min)/(max-min)·n)+1 with the same IEEE operation order.
     */
+  /** q29: second-moment aggregates — stddev/variance/correlation/
+    * covariance per group. All are single-pass partial-aggregable
+    * (sum, sum², sum-of-products partials), so the 100 TB shape is
+    * identical to q1: map-side partials, |groups| shuffle rows.
+    * Rounded to 4 to absorb partial-order float drift.
+    */
+  def q29Stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_extendedprice")), 4).as("cov_disc_price"))
+
+  val q29StatsSql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_discount, l_extendedprice), 4) AS cov_disc_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val q28HistogramSql: String =
     """SELECT CASE WHEN l_extendedprice < 0 THEN 0
       |            WHEN l_extendedprice >= 120000 THEN 25
