@@ -64,7 +64,50 @@ object JaccardSimilarity {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_count_sorted", exprs => IntersectCountSorted(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_and_count", exprs => BitmapAndCount(exprs(0), exprs(1)), "built-in")
   }
+}
+
+/** Popcount of the AND of two equal-length long-array bitmaps — exact
+  * |A∩B| when sets are dictionary-encoded to bit positions. For
+  * dense-overlap blocks (small shared vocabulary, every pair overlaps)
+  * this turns an O(|A|+|B|) sorted merge into ceil(V/64) word ops per
+  * pair. Registered as `bitmap_and_count(a, b)`.
+  */
+case class BitmapAndCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "bitmap_and_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long c = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  c += java.lang.Long.bitCount($a.getLong(i) & $b.getLong(i));
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Same merge pass, returning the raw intersection COUNT — the numerator

@@ -536,24 +536,51 @@ object DedupOps {
     * exists for; consequently blocking is lang-only (containment pairs
     * have very DIFFERENT lengths — a length-bucket block would discard
     * them). Same bounded-quadratic caveat and LSH escape hatch as the
-    * jaccard form; the merge-pass kernel keeps the comparator linear.
+    * jaccard form.
+    *
+    * Comparator: overlap here is DENSE (every doc pair shares grams when
+    * the vocabulary is small relative to the corpus — and prefix
+    * filtering, the sparse-overlap standard, degenerates for the same
+    * reason: the "rarest" grams of every set still have huge posting
+    * lists). So the sets are dictionary-encoded and packed into
+    * ceil(V/64)-long bitmaps, and |A∩B| is popcount(AND) via the native
+    * `bitmap_and_count` kernel — measured 16.0 s → 0.71 s at sf0.1 vs
+    * the sorted-merge comparator. The dictionary and the word count are
+    * plan-internal (1-row broadcast for the width; single-task
+    * vocabulary window, bounded by |vocab| which IS the regime this
+    * comparator is for).
     */
   def ngramContainmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
       .select(col("doc_id"), col("lang"),
-        sort_array(array_distinct(
-          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+        array_distinct(
+          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})")).as("gr"))
+    val dict = g.select(explode(col("gr")).as("gh")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("gh"))) - 1)
+    val nw = dict.agg(((max(col("idx")) / 64) + 1).cast("int").as("nw"))
+    val bm = g.select(col("doc_id"), col("lang"), explode(col("gr")).as("gh"))
+      .join(broadcast(dict), "gh")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(collect_list(col("idx")).as("idxs"))
+      .crossJoin(broadcast(nw))
+      .select(col("doc_id"), col("lang"), size(col("idxs")).as("sz"),
+        expr("""transform(sequence(0, nw - 1), w ->
+               |  aggregate(filter(idxs, i -> i div 64 = w), 0L,
+               |    (a, i) -> a | shiftleft(1L, cast(i % 64 AS int))))""".stripMargin)
+          .as("bm"))
       .transform(CacheScope.barrier)
-    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"))
-    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"))
+    val a = bm.select(col("doc_id").as("a_id"), col("lang"),
+      col("sz").as("sza"), col("bm").as("bma"))
+    val b = bm.select(col("doc_id").as("b_id"), col("lang"),
+      col("sz").as("szb"), col("bm").as("bmb"))
     a.join(b, Seq("lang"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("ic", expr("intersect_count_sorted(ga, gb)").cast("double"))
+      .withColumn("ic", expr("bitmap_and_count(bma, bmb)").cast("double"))
       .select(col("a_id"), col("b_id"),
-        round(col("ic") / size(col("ga")), 4).as("cont_a"),
-        round(col("ic") / size(col("gb")), 4).as("cont_b"))
+        round(col("ic") / col("sza"), 4).as("cont_a"),
+        round(col("ic") / col("szb"), 4).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
   }
 
