@@ -123,8 +123,10 @@ class PlanSpec extends SparkSpec {
     // doc_boilerplate / doc_tfidf_top / q20_approx: 1-row aggregate
     // (corpus count / sketch boundaries) cross-joined back — a broadcast
     // of one row is the wanted plan
+    // ngram_containment_pairs: the 1-row bitmap-width aggregate broadcast
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
-      "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx")
+      "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx",
+      "ngram_containment_pairs")
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
