@@ -446,6 +446,32 @@ object EventOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
       |FROM s LEFT JOIN a USING (user_id, hr)""".stripMargin
 
+  /** Z-score anomaly flags: events whose value deviates > `k`σ from the
+    * user's mean — the outlier pass a training pipeline runs before
+    * aggregating engagement signals. ONE exchange: mean/stddev as window
+    * aggregates over the bare user partition (no ordering ⇒ whole-
+    * partition frame), reused by the flag projection. Users with a
+    * single event (stddev null) and zero-variance users produce no
+    * flags — SQL null semantics, same on both engines.
+    */
+  def evAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("user_id"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+  }
+
+  val evAnomalySql: String =
+    """SELECT event_id, user_id, round((value - mu) / sd, 4) AS z FROM (
+      |  SELECT event_id, user_id, value,
+      |    avg(value) OVER (PARTITION BY user_id) AS mu,
+      |    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      |  FROM events)
+      |WHERE abs(value - mu) > 3.0 * sd""".stripMargin
+
   val evFunnelSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_type

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** foreachBatch changelog materialization: the parquet table must track
+  * upserts and deletes across micro-batches and stay readable (complete,
+  * promoted copy) at every batch boundary.
+  */
+class UpsertSinkSpec extends SparkSpec {
+
+  test("changelog stream maintains the table across batches; deletes and re-upserts apply") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = s"/tmp/graft-upsert-${System.nanoTime()}"
+    val path = s"$dir/table"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+      .write.parquet(path)
+
+    val input = MemoryStream[(Long, String, Double, String, Long)]
+    val q = UpsertSink.start(
+      input.toDF().toDF("id", "name", "v", "op", "seq"),
+      path, Seq("id"), "op", "seq", s"$dir/ckpt")
+    try {
+      // batch 1: update id=2, insert id=3
+      input.addData((2L, "B", 21.0, "upsert", 1L), (3L, "c", 30.0, "upsert", 2L))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(path)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(after1 == Set((1L, "a", 10.0), (2L, "B", 21.0), (3L, "c", 30.0)))
+
+      // batch 2: delete id=1, then a same-batch stale delete loses to a
+      // later re-upsert of id=3
+      input.addData((1L, "x", 0.0, "delete", 3L),
+        (3L, "x", 0.0, "delete", 4L), (3L, "c2", 31.0, "upsert", 5L))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(path)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(after2 == Set((2L, "B", 21.0), (3L, "c2", 31.0)))
+    } finally q.stop()
+  }
+}
