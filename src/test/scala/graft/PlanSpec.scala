@@ -171,6 +171,36 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges("ev_transitions") <= 3)
   }
 
+  test("ev_anomaly: stats windows and flag filter share ONE exchange") {
+    assert(countExchanges("ev_anomaly") == 1)
+  }
+
+  test("q26_upsert: the full-outer apply is ONE key shuffle of each side") {
+    // base + combined updates shuffle once each for the sort-merge join;
+    // the union of the two derived change sets adds no exchange of its own
+    assert(countExchanges("q26_upsert") <= 3)
+  }
+
+  test("q28/q29: histogram and moment aggregates are map-side partial") {
+    assert(countExchanges("q28_histogram") == 1, "one |buckets|-row shuffle")
+    assert(countExchanges("q29_stats") == 1, "one |groups|-row shuffle")
+  }
+
+  test("fuzzy join: ONE exchange of the keys table feeds both join sides") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.CacheScope.uncached(
+        SparkEntry.queries("fuzzy_name_pairs")(spark, sf).queryExecution.executedPlan)
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      // keys exchange (x2 sides sharing one plan subtree pre-AQE reuse) +
+      // the distinct on slim id pairs; nothing may shuffle raw strings
+      // beyond the keys table itself
+      assert(shuffles.length <= 3, s"unexpected exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q20_approx plans no global sort (the point of the sketch twin)") {
     val p = plan("q20_approx")
     assert(!p.contains("Sort ["), s"boundary lookup must not sort:\n$p")
