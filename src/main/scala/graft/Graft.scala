@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomFns, CosineSimilarity, JaccardSimilarity, L2Distance, WinnowKernel}
+import graft.functions.{BloomFns, CosineSimilarity, EditWithin1, JaccardSimilarity, L2Distance, WinnowKernel, ZValue}
 
 /** Library entry point: one call wires everything a session needs —
   * the native codegen'd expressions (`cosine_sim`, `jaccard_sorted`,
-  * `winnow_fp`, `l2_sq`, `bloom_might_contain`),
+  * `intersect_count_sorted`, `bitmap_and_count`, `winnow_fp`, `l2_sq`,
+  * `bloom_might_contain`, `ed_within_1`, `z_value`),
   * the typed UDAF (`weighted_avg`), and the parquet nanos setting the
   * `events` table requires. Individual operators also self-register what
   * they use, so calling this is convenience, not a correctness
@@ -19,6 +20,8 @@ object Graft {
     WinnowKernel.register(spark)
     L2Distance.register(spark)
     BloomFns.register(spark)
+    EditWithin1.register(spark)
+    ZValue.register(spark)
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, JaccardSimilarity, L2Distance, WinnowFingerprint}
+import graft.functions.{BitmapAndCount, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, L2Distance, WinnowFingerprint, ZValue}
 
 /** `SparkSessionExtensions` injection point — the config-driven twin of
   * [[Graft.init]]: sessions created with
@@ -42,5 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bloom_might_contain", classOf[BloomFilterMightContain],
       "bloom_might_contain(bloom, v) - probe a serialized bloom filter")(
       es => BloomFilterMightContain(es(0), es(1))))
+    ext.injectFunction(fn("intersect_count_sorted", classOf[IntersectCountSorted],
+      "intersect_count_sorted(a, b) - |A∩B| of two SORTED arrays")(
+      es => IntersectCountSorted(es(0), es(1))))
+    ext.injectFunction(fn("bitmap_and_count", classOf[BitmapAndCount],
+      "bitmap_and_count(a, b) - popcount of the AND of two long-array bitmaps")(
+      es => BitmapAndCount(es(0), es(1))))
+    ext.injectFunction(fn("ed_within_1", classOf[EditWithin1],
+      "ed_within_1(a, b) - true iff levenshtein(a, b) <= 1")(
+      es => EditWithin1(es(0), es(1))))
+    ext.injectFunction(fn("z_value", classOf[ZValue],
+      "z_value(c1, ..., cn) - Morton (Z-order) interleave of n ints")(
+      es => ZValue(es)))
   }
 }

@@ -23,6 +23,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.getDouble(0) == 1.0 / 3.0)
     assert(s.sql("SELECT size(winnow_fp('abcdefghijklmnop')) AS n")
       .head.getInt(0) > 0)
+    assert(s.sql("SELECT intersect_count_sorted(array(1L, 2L, 5L), array(2L, 5L)) AS i")
+      .head.getLong(0) == 2L)
+    assert(s.sql("SELECT bitmap_and_count(array(3L), array(1L)) AS b")
+      .head.getLong(0) == 1L)
+    assert(s.sql("SELECT ed_within_1('abc', 'abd') AS e").head.getBoolean(0))
+    assert(s.sql("SELECT z_value(5L, 3L) AS z").head.getLong(0) == 27L)
     assert(s.catalog.functionExists("cosine_sim"))
   }
 }
