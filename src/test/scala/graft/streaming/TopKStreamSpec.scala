@@ -43,6 +43,35 @@ class TopKStreamSpec extends SparkSpec {
     assert(got("hot") >= 120 - 300 / 5 && got("warm") >= 80 - 300 / 5)
   }
 
+  test("checkpoint restart: the summary state survives a new query instance") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    val qn = s"topk_ckpt_${System.nanoTime()}"
+    def startQuery() =
+      TopKStream.topk(
+          spark.readStream.schema("item STRING").parquet(src).as[String],
+          capacity = 16)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).outputMode("complete").start()
+
+    (Seq.fill(5)("a") ++ Seq.fill(2)("b")).toDF("item").write.parquet(src)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // new query instance, same checkpoint: counts must CONTINUE, and only
+    // the new file may be read (offset log)
+    (Seq.fill(4)("b") ++ Seq("c")).toDF("item").write.mode("append").parquet(src)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table(qn).as[Seq[(String, Long)]].collect().head
+      assert(got == Seq("b" -> 6L, "a" -> 5L, "c" -> 1L),
+        s"state lost or reprocessed: $got")
+    } finally q2.stop()
+  }
+
   test("per-key summaries stay independent across batches") {
     val s = spark
     import s.implicits._
