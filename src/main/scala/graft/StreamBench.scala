@@ -81,7 +81,44 @@ object StreamBench {
 
     val t1 = run("t1_filter", df => Pipelines.filterPipeline(df))
     val t2 = run("t2_dedup", df => Pipelines.dedupPipeline(df))
-    val qs = Seq(t1, t2).map { case (n, rps, rows, p50) =>
+
+    // Stateful extension ops on the same replay: n-stage funnel
+    // (transformWithState) and global Misra-Gries heavy hitters over the
+    // event stream — the throughput twins of ev_funnel and the topk sketch.
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_type")
+      .as[graft.streaming.FunnelEvent].collect()
+    def runTyped[T: org.apache.spark.sql.Encoder](
+        name: String, data: Array[T],
+        pipeline: org.apache.spark.sql.Dataset[T] => DataFrame,
+        mode: String): (String, Double, Long, Long) = {
+      val input = MemoryStream[T]
+      val qn = s"sb_$name"
+      val q = pipeline(input.toDS()).writeStream.format("memory")
+        .queryName(qn).outputMode(mode).start()
+      input.addData(data.take(1000).toSeq); q.processAllAvailable()
+      val t0 = System.nanoTime()
+      data.drop(1000).grouped(49500).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.table(qn).count()
+      val lat = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sorted
+      val p50 = if (lat.isEmpty) -1L else lat(lat.size / 2)
+      q.stop()
+      (name, (data.length - 1000) / secs, outRows, p50)
+    }
+    val fun = runTyped("funnel", events,
+      (ds: org.apache.spark.sql.Dataset[graft.streaming.FunnelEvent]) =>
+        graft.streaming.FunnelStream.funnel(ds,
+          Seq("view", "click", "purchase")).toDF(), "append")
+    val topk = runTyped("topk_mg", events.map(_.event_type),
+      (ds: org.apache.spark.sql.Dataset[String]) =>
+        graft.streaming.TopKStream.topk(ds, 64), "complete")
+
+    val qs = Seq(t1, t2, fun, topk).map { case (n, rps, rows, p50) =>
       s""""$n":{"records_per_sec":${rps.round},"out_rows":$rows,"batch_ms_p50":$p50}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_throughput","unit":"records/sec","pipelines":$qs,"n_records":${frames.length},"sf":"$sfDir"}""")
