@@ -736,6 +736,54 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"))
 
+  /** q30: UNPIVOT (melt) — the inverse of q19's pivot: wide per-flag
+    * aggregates to (flag, metric, value) long form. `Dataset.unpivot`
+    * plans as an Expand over the already-aggregated (tiny) frame — the
+    * 3× row multiply happens AFTER the reduction, never on the fact
+    * table.
+    */
+  def q30Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"),
+        round(sum(col("l_discount")), 2).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "metric", "value")
+
+  val q30UnpivotSql: String =
+    """SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag,
+      |    round(sum(l_quantity), 2) AS qty,
+      |    round(sum(l_extendedprice), 2) AS price,
+      |    round(sum(l_discount), 2) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |UNPIVOT (value FOR metric IN (qty, price, disc))""".stripMargin
+
+  /** q31: LATERAL correlated subquery — the SQL-surface form of a
+    * dependent per-row computation. Catalyst decorrelates the lateral
+    * aggregate into a plain aggregate + join (DecorrelateInnerQuery),
+    * so the physical plan is the same co-partitioned join-agg a
+    * hand-written version produces — no per-row subquery execution.
+    */
+  def q31Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey, l.n_items, l.max_qty
+        |FROM orders o, LATERAL (
+        |  SELECT count(*) AS n_items, max(l_quantity) AS max_qty
+        |  FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+        |WHERE o.o_totalprice > 400000""".stripMargin)
+  }
+
+  val q31LateralSql: String =
+    """SELECT o_orderkey, l.n_items, l.max_qty
+      |FROM orders o, LATERAL (
+      |  SELECT count(*) AS n_items, max(l_quantity) AS max_qty
+      |  FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+      |WHERE o.o_totalprice > 400000""".stripMargin
+
   /** Oracle spells out Spark's WidthBucket semantics (DuckDB has no
     * width_bucket): below-min → 0, ≥ max → n+1, else
     * floor((v-min)/(max-min)·n)+1 with the same IEEE operation order.
