@@ -38,6 +38,30 @@ class UpsertSinkSpec extends SparkSpec {
       val after2 = spark.read.parquet(path)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
       assert(after2 == Set((2L, "B", 21.0), (3L, "c2", 31.0)))
+
+      // promotion hygiene: no _next/_prev leftovers after a clean batch
+      assert(!new java.io.File(s"${path}_next").exists())
+      assert(!new java.io.File(s"${path}_prev").exists())
     } finally q.stop()
+  }
+
+  test("re-applying a batch is idempotent (foreachBatch at-least-once replay)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"/tmp/graft-upsert-idem-${System.nanoTime()}"
+    val path = s"$dir/table"
+    Seq((1L, "a", 10.0)).toDF("id", "name", "v").write.parquet(path)
+    val batch = Seq((1L, "a2", 11.0, "upsert", 1L), (2L, "b", 20.0, "upsert", 2L),
+      (3L, "c", 1.0, "delete", 3L)).toDF("id", "name", "v", "op", "seq")
+    UpsertSink.applyBatch(spark, batch, path, Seq("id"), "op", "seq")
+    val once = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // a failure AFTER the table swap but BEFORE the checkpoint commit makes
+    // the engine replay the same batch — the apply must converge
+    UpsertSink.applyBatch(spark, batch, path, Seq("id"), "op", "seq")
+    val twice = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(once == Set((1L, "a2", 11.0), (2L, "b", 20.0)))
+    assert(twice == once, "replayed batch must be a no-op")
   }
 }
