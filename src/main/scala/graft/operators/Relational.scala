@@ -567,6 +567,14 @@ object Relational {
     * engine-specific → rows-only driver check; the ≤2% error vs exact
     * q21 is asserted in AccuracySpec (the q18 pattern).
     */
+  /** Local-bench note: the two HLL sketches are ImperativeAggregates,
+    * which drop the whole aggregate out of whole-stage codegen — q21_approx
+    * therefore benches SLOWER than exact q21 at sf0.1 (~2.2 s vs ~1.0 s).
+    * The trade still wins at 100 TB: exact count-distinct's Expand
+    * triples the shuffled row count and keeps |keys| live through the
+    * shuffle, while each HLL partial is a constant 16 KB regardless of
+    * input — the crossover is long before cluster scale.
+    */
   def q21Approx(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .agg(
