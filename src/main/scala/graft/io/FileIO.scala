@@ -127,6 +127,39 @@ object FileIO {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Skew-robust Z-order: quantile-encode each dimension before the
+    * interleave — rank buckets from `approx_percentile` boundaries
+    * (1-row aggregate broadcast, the q20_approx pattern) instead of
+    * min/max scaling, which collapses when a dimension is heavy-tailed
+    * (one outlier stretches the range and the dense mass lands in a
+    * single bucket, so the curve stops varying on that dimension).
+    * `buckets` per dimension bounds the per-row encode cost (a linear
+    * fold over B-1 boundaries at write time) and ~256 is plenty: the
+    * curve only needs more distinct values per dimension than output
+    * files.
+    */
+  def zorderWriteQuantile(df: DataFrame, path: String, numFiles: Int,
+                          cols: Seq[String], buckets: Int = 256): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+    graft.functions.ZValue.register(df.sparkSession)
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = cols.map(c =>
+      expr(s"approx_percentile($c, array(${qs.mkString(", ")}), 10000)")
+        .as(s"__bnd_$c"))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val scaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (d, (c, i)) => d.withColumn(s"__zd$i",
+        expr(s"aggregate(__bnd_$c, 0L, (a, b) -> a + if($c >= b, 1L, 0L))"))
+    }
+    scaled
+      .withColumn("__z", expr(s"z_value(${cols.indices.map(i => s"__zd$i").mkString(", ")})"))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(cols.indices.map(i => s"__zd$i") ++ Seq("__z") ++
+        cols.map(c => s"__bnd_$c"): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. The long-running-pipeline hygiene
     * op — streaming sinks and fine-grained partitioning accumulate

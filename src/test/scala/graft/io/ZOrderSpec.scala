@@ -45,6 +45,28 @@ class ZOrderSpec extends SparkSpec {
     scan.metrics("numOutputRows").value
   }
 
+  test("quantile z-order keeps pruning a heavy-tailed dimension where min/max scaling collapses") {
+    val s = spark
+    import s.implicits._
+    // dim x: dense mass in [0, 1000] with a 10^9 outlier tail -> min/max
+    // scaling puts ~all rows in one x-bucket; dim y: uniform
+    val src = spark.range(0, 60000).select(
+      when(pmod(col("id"), lit(1000)) === 0, col("id") * 16000L)
+        .otherwise(pmod(col("id"), lit(1000))).as("x"),
+      pmod(col("id") * 7919L, lit(10000)).as("y"))
+    val total = src.count()
+    val dir = s"/tmp/graft-zq-${System.nanoTime()}"
+    FileIO.zorderWrite(src, s"$dir/minmax", 16, Seq("x", "y"))
+    FileIO.zorderWriteQuantile(src, s"$dir/quant", 16, Seq("x", "y"))
+    val pred = "x BETWEEN 100 AND 149" // 5% of the dense mass
+    val mm = scanRows(s"$dir/minmax", pred)
+    val qt = scanRows(s"$dir/quant", pred)
+    // min/max layout: the dense mass is one bucket -> x carries no
+    // information, the curve sorts by y only -> ~full scan
+    assert(mm > (total * 3) / 4, s"unexpected pruning on min/max layout: $mm of $total")
+    assert(qt < total / 2, s"quantile layout must prune the dense range: $qt of $total")
+  }
+
   test("z-ordered layout prunes row groups on BOTH dimensions; linear sort only on its leading one") {
     val src = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
