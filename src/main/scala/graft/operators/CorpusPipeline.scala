@@ -31,6 +31,39 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Observed variant: per-stage row counters via `Dataset.observe` —
+    * the production-monitoring surface. Observations are computed
+    * INSIDE the job (accumulator-backed, zero extra scans or actions,
+    * unlike a `count()` per stage which would re-run the lineage) and
+    * read after any action on the returned frame. The same calls work
+    * under Structured Streaming, where the metrics surface per batch in
+    * `StreamingQueryProgress.observedMetrics`.
+    */
+  def corpusPreparedObserved(spark: SparkSession, sfDir: String):
+      (DataFrame, Map[String, org.apache.spark.sql.Observation]) = {
+    import org.apache.spark.sql.Observation
+    val obs = Map(
+      "canonical" -> Observation("canonical"),
+      "quality" -> Observation("quality"),
+      "prepared" -> Observation("prepared"))
+    val canonical = DedupOps.dedupExact(spark, sfDir)
+      .select(col("canonical_id").as("doc_id"))
+      .observe(obs("canonical"), count(lit(1)).as("rows"))
+    val quality = TextOps.docQuality(spark, sfDir)
+      .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
+      .select(col("doc_id"), col("n_tokens"))
+      .observe(obs("quality"), count(lit(1)).as("rows"))
+    val sampled = SampleOps.docSampleStrat(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    val out = canonical
+      .join(quality, Seq("doc_id"))
+      .join(sampled, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .observe(obs("prepared"), count(lit(1)).as("rows"),
+        avg(col("n_tokens")).as("avg_tokens"))
+    (out, obs)
+  }
+
   val corpusPreparedSql: String =
     """WITH canon AS (
       |  SELECT min(doc_id) AS doc_id FROM documents

@@ -94,4 +94,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.getLong(1) == 3 && out.getLong(2) == 2)
     assert(out.getString(3) == "x y z z")
   }
+
+  test("observe() stage counters report in-job without extra scans") {
+    val sf = "/root/testdata/sf0.001"
+    val (df, obs) = graft.operators.CorpusPipeline.corpusPreparedObserved(spark, sf)
+    val outRows = df.count()
+    val canonical = obs("canonical").get("rows").asInstanceOf[Long]
+    val quality = obs("quality").get("rows").asInstanceOf[Long]
+    val prepared = obs("prepared").get("rows").asInstanceOf[Long]
+    assert(prepared == outRows, "observed final count must match the action")
+    assert(canonical > 0 && quality > 0)
+    assert(prepared <= canonical && prepared <= quality,
+      "joins can only narrow the stage outputs")
+    assert(obs("prepared").get("avg_tokens").asInstanceOf[Double] >= 20.0,
+      "quality gate floor must hold in the observed metric")
+  }
 }
