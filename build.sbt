@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ bench queries x whole-stage codegen fills the default 240 MB
+  // JIT code cache mid-run; once full, compilation stops and late
+  // queries drop to the interpreter (observed as a 15x spike on an
+  // unchanged query). Size it for the full suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )
