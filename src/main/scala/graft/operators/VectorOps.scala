@@ -648,8 +648,12 @@ object VectorOps {
        |WHERE rank <= 5""".stripMargin
   }
 
-  val embIvfTrainedSql: String =
-    s"""WITH ${kmeansCtes(k = 16, iters = 2)},
+  /** Shared CTE chain for the trained-IVF oracle: kmeans rounds → pivots
+    * → cell assignment → query probes → ranked candidates. Reused by
+    * `embRecallSql`, whose exact side reuses the same `n` CTE.
+    */
+  private def ivfTrainedCtes: String =
+    s"""${kmeansCtes(k = 16, iters = 2)},
        |piv AS (
        |  SELECT c_id AS p_id, cv AS pv,
        |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), j -> cv[j] * cv[j]))) AS pn
@@ -669,14 +673,52 @@ object VectorOps {
        |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
        |          / (n.vn * piv.pn) DESC, piv.p_id ASC) AS rn
        |    FROM n, piv WHERE n.vec_id < 10)
-       |  WHERE rn <= 2)
-       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  WHERE rn <= 2),
+       |ivf_ranked AS (
        |  SELECT p.q_id, c.vec_id AS n_id,
        |    list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))
        |      / (p.qn * c.vn) AS cos,
        |    row_number() OVER (PARTITION BY p.q_id ORDER BY
        |      list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))
        |        / (p.qn * c.vn) DESC, c.vec_id ASC) AS rank
-       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id)
-       |WHERE rank <= 5""".stripMargin
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id)""".stripMargin
+
+  val embIvfTrainedSql: String =
+    s"""WITH $ivfTrainedCtes
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos
+       |FROM ivf_ranked WHERE rank <= 5""".stripMargin
+
+  /** Recall@5 of the trained-IVF ANN against brute force — the quality
+    * gauge every ANN deployment runs before trusting a structure. Both
+    * sides are the already-oracle-gated queries; the join is per-query
+    * top-5 id sets, so the whole measurement costs two small joins over
+    * frames the library already computes. A missing IVF hit means a
+    * true neighbor's cell wasn't probed — recall rises with nprobe
+    * (AccuracySpec asserts the monotonicity for the LSH family).
+    */
+  def embRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = embKnn(spark, sfDir).select(col("q_id"), col("n_id"))
+    val ivf = embIvfTrained(spark, sfDir)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 4).as("recall_at_5"))
+  }
+
+  val embRecallSql: String =
+    s"""WITH $ivfTrainedCtes,
+       |ivf AS (SELECT q_id, n_id FROM ivf_ranked WHERE rank <= 5),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |          / (q.vn * c.vn) DESC, c.vec_id ASC) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 5)
+       |SELECT e.q_id,
+       |  round(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+       |    AS recall_at_5
+       |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
+       |GROUP BY e.q_id""".stripMargin
 }
