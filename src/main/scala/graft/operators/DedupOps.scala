@@ -438,6 +438,41 @@ object DedupOps {
     labels.select(col("v").as("doc_id"), col("cluster_id"))
   }
 
+  /** Ensemble duplicate clusters: union the TEXT near-dup edges
+    * (MinHash-LSH, Jaccard ≥ 0.5) with the SEMANTIC near-dup edges
+    * (SemDeDup keep/drop pairs over the embeddings of the same ids) and
+    * take connected components — what production dedup actually runs:
+    * surface sketches catch verbatim/near-verbatim copies, embedding
+    * similarity catches paraphrases the sketches miss, and a doc equal
+    * to A textually and to B semantically must land in ONE cluster.
+    * Scale shape = the parts: both pair generators are their bucketed
+    * plans, the union is edge-level (ids only), CC is the same
+    * O(diameter)-rounds loop.
+    */
+  def dedupEnsembleClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = minhashLshPairs(spark, sfDir)
+      .filter(col("jacc") >= 0.5).select(col("a_id"), col("b_id"))
+    val sem = graft.operators.VectorOps.embSemdedup(spark, sfDir)
+      .select(col("keep_id").as("a_id"), col("drop_id").as("b_id"))
+    connectedComponents(text.unionByName(sem).distinct())
+  }
+
+  val dedupEnsembleClustersSql: String =
+    s"""WITH RECURSIVE mh AS ($minhashLshPairsSql),
+       |sd AS ($$SEMDEDUP$$),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mh WHERE jacc >= 0.5
+       |  UNION SELECT b_id, a_id FROM mh WHERE jacc >= 0.5
+       |  UNION SELECT keep_id, drop_id FROM sd
+       |  UNION SELECT drop_id, keep_id FROM sd),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+       |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
+      .stripMargin
+      .replace("$SEMDEDUP$", graft.operators.VectorOps.embSemdedupSql)
+
   /** Duplicate clusters: connected components of the MinHash-LSH near-dup
     * graph at Jaccard ≥ 0.5 — the step that turns pairwise similarity
     * into dedup groups (a ~ b ~ c must collapse to ONE kept doc even if

@@ -126,7 +126,8 @@ class PlanSpec extends SparkSpec {
     // ngram_containment_pairs: the 1-row bitmap-width aggregate broadcast
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
       "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx",
-      "ngram_containment_pairs", "emb_recall") // composes emb_knn + emb_ivf_trained
+      "ngram_containment_pairs", "emb_recall", // composes emb_knn + emb_ivf_trained
+      "dedup_ensemble_clusters") // composes embSemdedup's pivot broadcast
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
