@@ -447,12 +447,19 @@ object DedupOps {
     * to A textually and to B semantically must land in ONE cluster.
     * Scale shape = the parts: both pair generators are their bucketed
     * plans, the union is edge-level (ids only), CC is the same
-    * O(diameter)-rounds loop.
+    * O(diameter)-rounds loop. Bench note: this is the suite's slowest
+    * query (~4 s at sf0.1) because it IS three pipelines — MinHash
+    * sketching, k-means + SemDeDup, and the iterative CC — run end to
+    * end; the cost is additive over its parts, not multiplicative.
     */
   def dedupEnsembleClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val text = minhashLshPairs(spark, sfDir)
       .filter(col("jacc") >= 0.5).select(col("a_id"), col("b_id"))
-    val sem = graft.operators.VectorOps.embSemdedup(spark, sfDir)
+    // thr 0.5: dedup wants near-duplicates, not topical similarity — and
+    // a loose threshold chains long semantic paths that both balloon the
+    // component diameter (CC rounds) and glue unrelated docs transitively
+    val sem = graft.operators.VectorOps.embSemdedup(spark, sfDir,
+        cells = 16, iters = 2, thr = 0.5)
       .select(col("keep_id").as("a_id"), col("drop_id").as("b_id"))
     connectedComponents(text.unionByName(sem).distinct())
   }
@@ -471,7 +478,7 @@ object DedupOps {
        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
        |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v"""
       .stripMargin
-      .replace("$SEMDEDUP$", graft.operators.VectorOps.embSemdedupSql)
+      .replace("$SEMDEDUP$", graft.operators.VectorOps.embSemdedupSqlAt(0.5))
 
   /** Duplicate clusters: connected components of the MinHash-LSH near-dup
     * graph at Jaccard ≥ 0.5 — the step that turns pairwise similarity

@@ -491,7 +491,11 @@ object VectorOps {
         round(col("m.cos"), 6).as("cos"))
   }
 
-  val embSemdedupSql: String =
+  val embSemdedupSql: String = embSemdedupSqlAt(0.3)
+
+  /** Threshold-parametric oracle twin (the ensemble-cluster oracle
+    * composes it at a stricter cut). */
+  def embSemdedupSqlAt(thr: Double): String =
     s"""WITH ${kmeansCtes(k = 16, iters = 2)},
        |piv AS (
        |  SELECT c_id AS p_id, cv AS pv,
@@ -511,7 +515,7 @@ object VectorOps {
        |      / (a.vn * b.vn) AS cos
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
-       |      / (a.vn * b.vn) >= 0.3)
+       |      / (a.vn * b.vn) >= $thr)
        |SELECT drop_id, keep_id, round(cos, 6) AS cos FROM (
        |  SELECT drop_id, keep_id, cos,
        |    row_number() OVER (PARTITION BY drop_id ORDER BY keep_id ASC, cos ASC) AS rn
