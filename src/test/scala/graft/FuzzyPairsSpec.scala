@@ -96,4 +96,31 @@ class FuzzyPairsSpec extends SparkSpec {
       assert(got == (lev(a, b) <= 1), s"mismatch on ('$a', '$b'): ed=${lev(a, b)}")
     }
   }
+
+  test("byte-level kernel is conservative on multi-byte UTF-8: admits only char-lev <= 1") {
+    // the scaladoc claim: on non-ASCII the kernel may MISS pairs (byte ed
+    // of a char substitution can exceed 1) but must never ADMIT a pair
+    // whose character-level distance exceeds 1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val alphabet = "abé日ü€"
+    val rnd = new scala.util.Random(13)
+    def rs() = (1 to rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var admitted = 0
+    (1 to 4000).foreach { _ =>
+      val (a, b) = (rs(), rs())
+      if (graft.functions.EditWithin1.within1(a.getBytes("UTF-8"), b.getBytes("UTF-8"))) {
+        admitted += 1
+        assert(lev(a, b) <= 1, s"kernel admitted ('$a', '$b') with char-lev ${lev(a, b)}")
+      }
+    }
+    assert(admitted > 10, "pool too sparse to exercise the claim")
+  }
 }
