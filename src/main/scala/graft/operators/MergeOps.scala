@@ -28,25 +28,32 @@ object MergeOps {
 
   /** Latest-wins upsert of `updates` onto `base` by `keys`. Update rows are
     * complete rows (same schema as base); deletes are not modeled here —
-    * see `applyChangelog` for op-coded logs with deletes.
+    * see `applyChangelog` for op-coded logs with deletes. A null key
+    * cannot address a row (SQL equality never matches it), so null-key
+    * update rows are dropped up front — otherwise they would survive
+    * the full outer join unmatched and surface as all-null rows.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
     val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
     val hasUpdate = col(s"u.${keys.head}").isNotNull
-    base.as("b").join(updates.as("u"), cond, "full_outer")
+    val upd = updates.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    base.as("b").join(upd.as("u"), cond, "full_outer")
       .select(cols.map(c =>
         when(hasUpdate, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)): _*)
   }
 
   /** Apply an op-coded changelog (op ∈ upsert|delete, seq = change order):
     * keep only the latest change per key (max seq), then full-outer join —
-    * latest upsert wins, latest delete drops the row.
+    * latest upsert wins, latest delete drops the row. `seq` must be
+    * unique per key (a log offset / LSN is): ties would make max_by's
+    * pick nondeterministic. Null-key log rows are dropped (see upsert).
     */
   def applyChangelog(base: DataFrame, log: DataFrame, keys: Seq[String],
                      opCol: String, seqCol: String): DataFrame = {
     val cols = base.columns.toSeq
-    val latest = log.groupBy(keys.map(col): _*)
+    val latest = log.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
       .agg(max_by(struct((cols.filterNot(keys.contains) :+ opCol).map(col): _*),
         col(seqCol)).as("__c"))
       .select(keys.map(col) ++ cols.filterNot(keys.contains)

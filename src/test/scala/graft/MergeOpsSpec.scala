@@ -35,6 +35,16 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.isNullAt(1) && out.getDouble(2) == 11.0)
   }
 
+  test("null-key update rows are dropped, not surfaced as all-null rows") {
+    val s = spark
+    import s.implicits._
+    val updates = Seq((Some(2L), "B", 99.0), (None, "ghost", 1.0))
+      .toDF("id", "name", "v")
+    val out = MergeOps.upsert(base, updates, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+  }
+
   test("applyChangelog: latest seq wins per key; delete drops; stale delete loses") {
     val s = spark
     import s.implicits._
