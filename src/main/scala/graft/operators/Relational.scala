@@ -673,9 +673,12 @@ object Relational {
     * different dimension paths of the snowflake, which is what
     * distinguishes it from q2's straight key chain. Plan at 100 TB: the
     * date filter pushes into the orders scan (partition pruning on a
-    * date-partitioned layout); supplier/nation/region broadcast, so
-    * lineitem shuffles exactly twice (orderkey join, custkey join) and the
-    * customer-nation consistency check rides the broadcast hash join
+    * date-partitioned layout); nation/region broadcast by HINT (bounded
+    * at any scale), supplier by SIZE ESTIMATE — TPC-H supplier grows
+    * with scale factor, so a forced broadcast would OOM the build side
+    * at 100 TB where the planner/AQE correctly falls back to a shuffle
+    * join. lineitem shuffles exactly twice (orderkey, custkey) and the
+    * customer-nation consistency equality rides the supplier join
     * condition, never a shuffle of its own.
     */
   def q25LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
@@ -689,7 +692,7 @@ object Relational {
     val reg = Tables.region(spark, sfDir).filter(col("r_name") === lit("ASIA"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
