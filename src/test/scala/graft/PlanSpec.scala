@@ -31,6 +31,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(event_type,error)"), p.take(2000))
   }
 
+  test("q1's date filter reaches the parquet scan (PushedFilters + pruned ReadSchema)") {
+    val scans = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    val scan = scans.head
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("l_shipdate")),
+      s"filter not pushed: ${scan.metadata.get("PushedFilters")}")
+    val read = scan.requiredSchema.fieldNames.toSet
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"q1 must not read join keys it never uses: $read")
+  }
+
   test("q2_join_broadcast broadcasts the dimension tables") {
     val p = plan("q2_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
