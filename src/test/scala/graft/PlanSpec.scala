@@ -32,10 +32,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q1's date filter reaches the parquet scan (PushedFilters + pruned ReadSchema)") {
-    val scans = SparkEntry.queries("q1_agg")(spark, sf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // unwrap AQE root
+    val scans = try SparkEntry.queries("q1_agg")(spark, sf)
       .queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val scan = scans.head
     assert(scan.metadata.get("PushedFilters").exists(_.contains("l_shipdate")),
       s"filter not pushed: ${scan.metadata.get("PushedFilters")}")
