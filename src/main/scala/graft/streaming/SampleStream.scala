@@ -61,6 +61,43 @@ object SampleStream {
   def bottomK(items: Dataset[String], k: Int): DataFrame =
     items.select(new BottomK(k).toColumn.name("sample")).toDF()
 
+  /** Weighted rank (Efraimidis–Spirakis A-ES with the uniform draw
+    * derandomized to the item's hash): keep the k smallest
+    * `-ln(u)/w` — inclusion probability proportional to weight, same
+    * mergeability and reproducibility as the uniform form. */
+  def weightedRank(s: String, w: Double): Double = {
+    require(w > 0, s"weight must be positive, got $w for '$s'")
+    // map the 64-bit rank into (0, 1) — strictly inside, so ln is finite
+    val u = (rank(s) >>> 11).toDouble / (1L << 53).toDouble + java.lang.Double.MIN_NORMAL
+    -math.log(u) / w
+  }
+
+  class BottomKWeighted(k: Int)
+      extends Aggregator[(String, Double), Seq[(Double, String)], Seq[String]] {
+    override def zero: Seq[(Double, String)] = Vector.empty
+    private def trim(b: Seq[(Double, String)]): Seq[(Double, String)] =
+      if (b.length <= k) b.distinct else b.distinct.sorted.take(k)
+    override def reduce(b: Seq[(Double, String)], a: (String, Double)): Seq[(Double, String)] = {
+      val withNew = b :+ ((weightedRank(a._1, a._2), a._1))
+      if (withNew.length > 2 * k) trim(withNew) else withNew
+    }
+    override def merge(a: Seq[(Double, String)], b: Seq[(Double, String)]): Seq[(Double, String)] =
+      trim(a ++ b)
+    override def finish(b: Seq[(Double, String)]): Seq[String] =
+      b.distinct.sorted.take(k).map(_._2)
+    override def bufferEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  }
+
+  /** Weight-proportional k-sample (items paired with positive weights). */
+  def bottomKWeighted(items: Dataset[(String, Double)], k: Int): DataFrame =
+    items.select(new BottomKWeighted(k).toColumn.name("sample")).toDF()
+
+  /** Batch twin of the weighted sampler. */
+  def bottomKWeightedBatch(items: Seq[(String, Double)], k: Int): Seq[String] =
+    items.distinct.map { case (s, w) => (weightedRank(s, w), s) }
+      .sorted.take(k).map(_._2)
+
   /** The batch twin over a local collection — for tests and backfills. */
   def bottomKBatch(items: Seq[String], k: Int): Seq[String] =
     items.distinct.map(s => (rank(s), s)).sorted.take(k).map(_._2)

@@ -43,6 +43,27 @@ class SampleStreamSpec extends SparkSpec {
     assert(got.toSet == Set("a", "b", "c") && got.length == 3)
   }
 
+  test("weighted sampler == batch twin across batches; weights tilt inclusion") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // half the pool at weight 1, half at weight 20
+    val items = (1 to 200).map(i => (s"doc$i", if (i % 2 == 0) 20.0 else 1.0))
+    val expected = SampleStream.bottomKWeightedBatch(items, 30)
+    val input = MemoryStream[(String, Double)]
+    val qn = s"wsample_${System.nanoTime()}"
+    val q = SampleStream.bottomKWeighted(input.toDS(), 30)
+      .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    try {
+      items.grouped(70).foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.table(qn).as[Seq[String]].collect().head
+      assert(got == expected)
+      // heavy items should dominate the sample (p ~ w: expect >> 15 of 30)
+      val heavy = got.count(d => d.stripPrefix("doc").toInt % 2 == 0)
+      assert(heavy >= 22, s"weight-20 items underrepresented: $heavy of 30")
+    } finally q.stop()
+  }
+
   test("rank is stable and spreads (no catastrophic FNV clustering on doc ids)") {
     val ranks = (1 to 10000).map(i => SampleStream.rank(s"doc$i"))
     assert(ranks.distinct.length == ranks.length, "rank collisions")
