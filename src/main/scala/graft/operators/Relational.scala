@@ -795,6 +795,33 @@ object Relational {
       |  FROM lineitem WHERE l_orderkey = o.o_orderkey) l
       |WHERE o.o_totalprice > 400000""".stripMargin
 
+  /** q32: dedupe-to-latest — one row per key, the most recent by
+    * timestamp with a deterministic tiebreak: THE pattern behind every
+    * "current snapshot of a mutable entity" view (and the query-plan
+    * dual of `MergeOps.upsert`, which maintains the same result
+    * incrementally). One exchange on the key; row_number + filter(=1)
+    * plans a rank-limited window, no global sort.
+    */
+  def q32Latest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        col("o_totalprice"))
+  }
+
+  val q32LatestSql: String =
+    """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS odate_ms,
+      |  o_totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1""".stripMargin
+
   /** Oracle spells out Spark's WidthBucket semantics (DuckDB has no
     * width_bucket): below-min → 0, ≥ max → n+1, else
     * floor((v-min)/(max-min)·n)+1 with the same IEEE operation order.
