@@ -217,6 +217,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q32_latest: rank-limited window runs on ONE key exchange, no global sort") {
+    assert(countExchanges("q32_latest") == 1)
+    val p = plan("q32_latest")
+    assert(!p.contains("Sort [o_orderdate"), "sort must stay inside the partition")
+  }
+
+  test("ev_gapfill: hourly agg + spine + join + LOCF stay within three exchanges") {
+    // hourly agg (1), spine min/max agg reusing the same key (1-2), the
+    // spine-to-hourly join and LOCF window reuse the user partitioning
+    assert(countExchanges("ev_gapfill") <= 4)
+  }
+
   test("q20_approx plans no global sort (the point of the sketch twin)") {
     val p = plan("q20_approx")
     assert(!p.contains("Sort ["), s"boundary lookup must not sort:\n$p")
