@@ -795,6 +795,30 @@ object Relational {
       |  FROM lineitem WHERE l_orderkey = o.o_orderkey) l
       |WHERE o.o_totalprice > 400000""".stripMargin
 
+  /** Schema-dynamic column profiler — the ANALYZE TABLE surface as a
+    * library op: one pass computes per column its null count, HLL
+    * distinct estimate, and min/max (rendered to strings so the output
+    * schema is fixed whatever the input schema), then one UNPIVOT melts
+    * the single wide row to a row per column. Exactly one job over the
+    * data regardless of column count; the q21 queries are this op's
+    * fixed-schema twins.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        approx_count_distinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', __n_$c, __d_$c, __mn_$c, __mx_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stacked) AS (column, n_nulls, approx_distinct, min_val, max_val)")
+  }
+
   /** q32: dedupe-to-latest — one row per key, the most recent by
     * timestamp with a deterministic tiebreak: THE pattern behind every
     * "current snapshot of a mutable entity" view (and the query-plan
