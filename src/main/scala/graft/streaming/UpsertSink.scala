@@ -8,7 +8,14 @@ import graft.operators.MergeOps
   * `foreachBatch` + MERGE pattern: each micro-batch of change rows is
   * applied to a parquet-backed base table with `MergeOps.applyChangelog`
   * (latest-per-key wins, delete ops drop rows), and the result is
-  * atomically promoted (write to `<path>_next`, swap). This is the
+  * promoted by rename-aside (write `<path>_next`, move the old table to
+  * `<path>_prev`, move `_next` into place — the same discipline as
+  * `FileIO.compact`). The two renames are NOT one atomic step: a crash
+  * between them leaves no table at `path`; recovery is manual — rename
+  * `<path>_prev` back to `path` (the pre-batch state; the batch replays
+  * from the checkpoint). Readers racing the swap window can likewise see
+  * a missing path. True atomic promotion needs a table format (snapshot
+  * pointer) or a versioned-directory indirection. This is the
   * streaming face of the batch upsert — the state lives in the TABLE,
   * not the state store, so it survives query restarts and is readable
   * by any consumer mid-stream.
