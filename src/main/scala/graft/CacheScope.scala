@@ -61,6 +61,41 @@ object CacheScope {
     try body finally disabled.set(false)
   }
 
+  private val memos = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+  // checkpoint RDDs backing memoized frames: unpersisted EXPLICITLY on
+  // release — a localCheckpoint block is droppable only via the
+  // ContextCleaner's GC-driven path otherwise, which is nondeterministic
+  // (CacheHygieneSpec saw final CC label tables survive a 60 s GC loop)
+  private val memoRdds = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+
+  /** Memoize an EAGERLY-computed frame (one whose construction runs
+    * driver-side actions — the connected-components fixpoint) for the
+    * lifetime of the scope. `barrier` can't help those: calling the
+    * operator again re-RUNS the loop before there is any plan to
+    * dedup. The memo is how a production pipeline stages them — compute
+    * the cluster-label table once, let every downstream consumer (the
+    * corpus anti-join, the ensemble, a repeated bench run) read the
+    * staged result. Cleared by `release()`; bypassed under `uncached`
+    * (plan-shape tests need the raw construction).
+    */
+  def memo[T](key: String)(build: => T): T =
+    if (disabled.get) build
+    else memos.computeIfAbsent(key, _ => {
+      val v = build
+      v match {
+        case ds: Dataset[_] =>
+          // register the checkpoint RDDs the staged frame reads from, so
+          // release() can drop their blocks without waiting for a GC
+          ds.queryExecution.analyzed.foreach {
+            case l: org.apache.spark.sql.execution.LogicalRDD => memoRdds.add(l.rdd)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      v
+    }).asInstanceOf[T]
+
   /** Unpersist every registered barrier. Safe to call at any time the
     * caller no longer needs frames produced before this point; barriers
     * are re-established lazily if such a frame is re-executed.
@@ -68,5 +103,11 @@ object CacheScope {
   def release(): Unit = {
     live.forEach(d => d.unpersist(false))
     live.clear()
+    memos.clear()
+    // A released checkpoint cannot re-execute (lineage is truncated), so a
+    // memoized frame held across release() is invalid — same consumption
+    // contract as barriers, enforced rather than implied.
+    memoRdds.forEach(_.unpersist(false))
+    memoRdds.clear()
   }
 }

@@ -1,12 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomFns, CosineSimilarity, EditWithin1, JaccardSimilarity, L2Distance, WinnowKernel, ZValue}
+import graft.functions.{BloomFns, CosineSimilarity, EditWithin1, JaccardSimilarity, L2Distance, SimHash32, WinnowKernel, ZValue}
 
 /** Library entry point: one call wires everything a session needs —
   * the native codegen'd expressions (`cosine_sim`, `jaccard_sorted`,
   * `intersect_count_sorted`, `bitmap_and_count`, `winnow_fp`, `l2_sq`,
-  * `bloom_might_contain`, `ed_within_1`, `z_value`),
+  * `bloom_might_contain`, `ed_within_1`, `z_value`, `simhash32`),
   * the typed UDAF (`weighted_avg`), and the parquet nanos setting the
   * `events` table requires. Individual operators also self-register what
   * they use, so calling this is convenience, not a correctness
@@ -22,6 +22,7 @@ object Graft {
     BloomFns.register(spark)
     EditWithin1.register(spark)
     ZValue.register(spark)
+    SimHash32.register(spark)
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

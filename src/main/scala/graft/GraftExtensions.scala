@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, L2Distance, WinnowFingerprint, ZValue}
+import graft.functions.{BitmapAndCount, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, L2Distance, SimHash32, WinnowFingerprint, ZValue}
 
 /** `SparkSessionExtensions` injection point — the config-driven twin of
   * [[Graft.init]]: sessions created with
@@ -54,5 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("z_value", classOf[ZValue],
       "z_value(c1, ..., cn) - Morton (Z-order) interleave of n ints")(
       es => ZValue(es)))
+    ext.injectFunction(fn("simhash32", classOf[SimHash32],
+      "simhash32(th) - 32-bit majority-vote SimHash of a hashed-token array")(
+      es => SimHash32(es.head)))
   }
 }

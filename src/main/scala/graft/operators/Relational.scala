@@ -429,15 +429,26 @@ object Relational {
       |  round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** q18: approximate distinct (HLL++) — value depends on Spark's sketch,
-    * so no cross-engine oracle; the driver records a rows-only check. The
-    * exact twin is q9.
+  /** q18: approximate distinct — value depends on the sketch, so no
+    * cross-engine oracle; the driver records a rows-only check and
+    * AccuracySpec bounds the error at 2% of the exact twin (q9).
+    *
+    * HLL as the two-level declarative aggregate (see [[Sketches]]): the
+    * builtin `approx_count_distinct` is an ImperativeAggregate that
+    * drops the whole stage out of codegen; `groupBy(flag, bucket) →
+    * max(rank)` + a per-flag harmonic fold is the same math with every
+    * operator codegen'd and ≤ |flags|·m partial rows shuffled.
     */
   def q18ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), Sketches.hllIdx(col("l_partkey")).as("_i"))
+      .agg(max(Sketches.hllRank(col("l_partkey"))).as("_mr"),
+        count(lit(1)).as("_cnt"))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        count(lit(1)).as("n_rows"))
+      .agg(
+        Sketches.hllEstimate(count(lit(1)),
+          sum(Sketches.hllContribution(col("_mr")))).as("approx_parts"),
+        sum(col("_cnt")).as("n_rows"))
 
   /** q19: pivot — long-to-wide reshaping (order counts by priority ×
     * status). Pivot values are EXPLICIT (`Seq("F","O","P")`): without
@@ -567,24 +578,50 @@ object Relational {
     * engine-specific → rows-only driver check; the ≤2% error vs exact
     * q21 is asserted in AccuracySpec (the q18 pattern).
     */
-  /** Local-bench note: the two HLL sketches are ImperativeAggregates,
-    * which drop the whole aggregate out of whole-stage codegen — q21_approx
-    * therefore benches SLOWER than exact q21 at sf0.1 (~2.2 s vs ~1.0 s).
-    * The trade still wins at 100 TB: exact count-distinct's Expand
-    * triples the shuffled row count and keeps |keys| live through the
-    * shuffle, while each HLL partial is a constant 16 KB regardless of
-    * input — the crossover is long before cluster scale.
+  /** ONE scan, fully codegen'd (see [[Sketches]] for why not the builtin
+    * ImperativeAggregate): each row expands to two tagged (bucket, rank)
+    * rows — one per sketched column — with the scalar metrics riding the
+    * tag-0 branch; level 1 collapses to ≤ 2m groups with map-side
+    * partial max/sum, level 2 folds those into the single profile row.
+    * The expansion is over the SCAN only (not a shuffle of 2× rows —
+    * partial aggregation bounds every partition's output at 2m rows),
+    * which is how this differs from exact q21's Expand-through-shuffle
+    * scale concern.
     */
   def q21Approx(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .select(explode(array(
+        struct(lit(0).as("tag"),
+          Sketches.hllIdx(col("l_orderkey")).as("idx"),
+          Sketches.hllRank(col("l_orderkey")).as("rk"),
+          col("l_shipdate").cast("date").as("sd"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price")),
+        struct(lit(1).as("tag"),
+          Sketches.hllIdx(col("l_partkey")).as("idx"),
+          Sketches.hllRank(col("l_partkey")).as("rk"),
+          lit(null).cast("date").as("sd"),
+          lit(null).cast("double").as("qty"),
+          lit(null).cast("double").as("price")))).as("x"))
+      .select(col("x.*"))
+      .groupBy(col("tag"), col("idx"))
+      .agg(max(col("rk")).as("mr"), count(col("sd")).as("cnt"),
+        min(col("sd")).as("mn"), max(col("sd")).as("mx"),
+        sum(col("qty")).as("sq"), sum(col("price")).as("sp"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
-        min(col("l_shipdate").cast("date")).cast("string").as("min_ship"),
-        max(col("l_shipdate").cast("date")).cast("string").as("max_ship"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        sum(col("cnt")).as("n_rows"),
+        Sketches.hllEstimate(
+          count(when(col("tag") === 0, lit(1))),
+          sum(when(col("tag") === 0, Sketches.hllContribution(col("mr")))))
+          .as("n_orders"),
+        Sketches.hllEstimate(
+          count(when(col("tag") === 1, lit(1))),
+          sum(when(col("tag") === 1, Sketches.hllContribution(col("mr")))))
+          .as("n_parts"),
+        min(col("mn")).cast("string").as("min_ship"),
+        max(col("mx")).cast("string").as("max_ship"),
+        round(sum(col("sq")), 2).as("sum_qty"),
+        round(sum(col("sp")) / sum(col("cnt")), 4).as("avg_price"))
 
   /** q22: correlated EXISTS through the SQL parser (TPC-H Q4 shape) —
     * the subquery surface, not the Column API: Catalyst's

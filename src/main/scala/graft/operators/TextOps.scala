@@ -287,9 +287,14 @@ object TextOps {
     * SQL builtin computes deflate, so this is a typed `mapPartitions`
     * (like the multimodal codec): one Deflater per partition, streaming,
     * zero exchanges, ~16 bytes/doc emitted. Deflate output is
-    * deterministic for a fixed level, but there is no DuckDB twin — this
-    * ships as a library operator with behavioral tests rather than an
-    * oracle query.
+    * deterministic for a fixed level and there is no DuckDB twin, but
+    * CPython's `zlib.compress(raw, 1)` emits the byte-identical stream
+    * (same zlib: level 1, wbits 15, memLevel 8 — verified 500/500 at
+    * sf0.01), so `tools/compare.py` carries a python-side oracle
+    * (`PY_ORACLES`) that hash-checks this query; the driver's SQL-only
+    * gate still records it rows-only. The one twin subtlety is rounding:
+    * `Math.round` is half-up, Python `round()` is banker's — the oracle
+    * mirrors Java with floor(x·10⁴+0.5).
     */
   def compressionRatio(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
     import docs.sparkSession.implicits._

@@ -229,6 +229,34 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges("ev_gapfill") <= 4)
   }
 
+  test("ngram_containment_banded: no single-task stage, no unblocked self-join") {
+    // the two scale-killers the banded tier exists to remove: the bitmap
+    // tier's vocabulary-wide `row_number over Window.orderBy` (a
+    // SinglePartition exchange) and its lang-only all-pairs self-join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val plan = CacheScope.uncached(
+        SparkEntry.queries("ngram_containment_banded")(spark, sf)
+          .queryExecution.executedPlan)
+      val p = plan.toString
+      assert(!p.contains("SinglePartition"),
+        s"banded tier must not plan a single-task exchange:\n${p.take(4000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "candidate generation must stay an equijoin")
+      // every self-join must carry the gram hash in its keys, not lang alone
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.leftKeys.map(_.sql).mkString(",")
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys.map(_.sql).mkString(",")
+      }
+      val langOnly = joins.filter(k => k.contains("lang") && !k.contains("gh"))
+      assert(langOnly.isEmpty, s"lang-only (all-pairs-in-language) join keys: $joins")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q20_approx plans no global sort (the point of the sketch twin)") {
     val p = plan("q20_approx")
     assert(!p.contains("Sort ["), s"boundary lookup must not sort:\n$p")
