@@ -84,17 +84,24 @@ object CacheScope {
     else memos.computeIfAbsent(key, _ => {
       val v = build
       v match {
-        case ds: Dataset[_] =>
-          // register the checkpoint RDDs the staged frame reads from, so
-          // release() can drop their blocks without waiting for a GC
-          ds.queryExecution.analyzed.foreach {
-            case l: org.apache.spark.sql.execution.LogicalRDD => memoRdds.add(l.rdd)
-            case _ => ()
-          }
+        case ds: Dataset[_] => trackCheckpoints(ds)
         case _ => ()
       }
       v
     }).asInstanceOf[T]
+
+  /** Register the checkpoint RDDs a frame reads from, so `release()`
+    * drops their blocks DETERMINISTICALLY — a localCheckpoint block is
+    * otherwise only droppable via the ContextCleaner's GC-driven path,
+    * which can outlive any bounded wait (observed: a final CC label
+    * table surviving a 60 s GC loop). Eager fixpoints call this on
+    * their result; `memo` calls it on every staged frame.
+    */
+  def trackCheckpoints(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => memoRdds.add(l.rdd)
+      case _ => ()
+    }
 
   /** Unpersist every registered barrier. Safe to call at any time the
     * caller no longer needs frames produced before this point; barriers

@@ -383,7 +383,15 @@ object DedupOps {
     * small-star variant bounds rounds at O(log n); near-dup graphs don't
     * need it.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** The fixpoint with its round count exposed — DedupClusterSpec's
+    * stress test asserts rounds stay O(log diameter) on adversarial
+    * topologies (long chain, supernode), the property that makes the
+    * loop viable at 100 TB where a linear-in-diameter loop would not be.
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val p = pairs.select(col("a_id"), col("b_id"))
     val edges = p.union(p.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").persist()
@@ -439,7 +447,12 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("v").as("doc_id"), col("cluster_id"))
+    val out = labels.select(col("v").as("doc_id"), col("cluster_id"))
+    // the final label table's checkpoint blocks drop at the next
+    // CacheScope.release() rather than at an eventual GC — every CC
+    // result (memoized or direct) must be consumed within the scope
+    CacheScope.trackCheckpoints(out)
+    (out, iter)
   }
 
   /** Ensemble duplicate clusters: union the TEXT near-dup edges

@@ -751,6 +751,41 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
+  /** q33: q25's join tree with the dimension strategies chosen by the
+    * PROFILER → PLANNER loop ([[StatsPlanner]]) instead of hand-placed
+    * `broadcast()` hints — the ANALYZE→CBO loop as a library surface.
+    * Each dimension (customer, supplier, nation, filtered region) is
+    * profiled once (staged per scope) and joins as a broadcast iff its
+    * measured size fits the budget, else as a shuffled hash join. On
+    * the test scale factors all four fit, so the plan is q25's; at
+    * 100 TB customer/supplier cross the threshold and the SAME code
+    * degrades them to shuffles — the switch is plan-asserted both ways
+    * in ProfileSpec with a forced tiny budget. Same oracle as q25 (the
+    * strategy choice must never change the result).
+    */
+  def q33StatsJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === lit("ASIA"))
+    val j1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val j2 = StatsPlanner.statsJoin(j1, cust,
+      col("o_custkey") === col("c_custkey"), s"customer:$sfDir")
+    val j3 = StatsPlanner.statsJoin(j2, supp,
+      col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"), s"supplier:$sfDir")
+    val j4 = StatsPlanner.statsJoin(j3, nat,
+      col("s_nationkey") === col("n_nationkey"), s"nation:$sfDir")
+    val j5 = StatsPlanner.statsJoin(j4, reg,
+      col("n_regionkey") === col("r_regionkey"), s"region_asia:$sfDir")
+    j5.groupBy(col("n_name"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+  }
+
   /** q27: distribution-position windows — `percent_rank` / `cume_dist`
     * per brand. Ordering by the VALUE only (no tiebreak) keeps tied rows
     * at identical ranks, so the result is deterministic without a

@@ -75,4 +75,29 @@ class DedupClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 100L).map(_ -> 0L).toMap)
   }
+
+  test("stress: 2048-hop chain + 50k-spoke supernode converge in O(log d) rounds") {
+    // the two adversarial topologies for label propagation at once:
+    // a large-DIAMETER component (worst case for rounds — linear without
+    // pointer jumping) and a hub whose label feeds 50k neighbors every
+    // round (worst case for per-round skew). The edge count (52k) is
+    // above the sf0.1 near-dup graph's; correctness AND the round bound
+    // are asserted, since an O(diameter) loop would pass correctness
+    // while being unrunnable at 100 TB.
+    import spark.implicits._
+    val d = 2048
+    val chain = (0L until d.toLong).map(i => (i, i + 1))
+    val hub = 1000000L
+    val spokes = (1L to 50000L).map(k => (hub, hub + k))
+    val pairs = (chain ++ spokes).toDF("a_id", "b_id")
+    val (df, rounds) = DedupOps.connectedComponentsWithRounds(pairs)
+    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == (d + 1) + 50001)
+    assert((0L to d.toLong).forall(labels(_) == 0L), "chain must collapse to vertex 0")
+    assert((hub to hub + 50000L).forall(labels(_) == hub), "star must collapse to the hub")
+    // 3 one-hop rounds, then pointer jumping halves the remaining depth
+    // per round: ceil(log2 d) more, +3 slack for convergence detection
+    val bound = 3 + math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 3
+    assert(rounds <= bound, s"took $rounds rounds, bound is $bound (diameter $d)")
+  }
 }
