@@ -710,14 +710,27 @@ object DedupOps {
       .transform(CacheScope.barrier) // gram sets materialized once: postings, prefix, confirm all reuse
     val posting = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("gr")).as("gh"))
     val dfreq = posting.groupBy(col("lang"), col("gh")).agg(count(lit(1)).as("df"))
-    val probe = posting.join(dfreq, Seq("lang", "gh"))
+    // rarest-first rank of every gram within its doc — the COMMON order
+    // (same per-lang df table) both the prefix condition and the
+    // positional filter below depend on
+    val ranked = posting.join(dfreq, Seq("lang", "gh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
+      .select(col("doc_id"), col("lang"), col("sz"), col("gh"), col("rk"))
+      .transform(CacheScope.barrier) // probe and index sides share one ranking pass
+    val probe = ranked
       .filter(col("rk") <= expr("sz div 5") + lit(2)) // integer ⌊sz/5⌋+2: no FP floor drift
-      .select(col("doc_id"), col("lang"), col("gh"))
-    val cand = probe.as("p").join(posting.as("q"),
+    // Positional filter (the PPJoin refinement): grams after the match in
+    // the common order bound the intersection — |P∩Q| ≤ min(|P|−rkP,
+    // |Q|−rkQ) + 1 — and the probe direction needs |P∩Q| ≥ 0.79995·|P|
+    // (0.8 minus the round-to-4 slop). The −1 slack absorbs any FP edge
+    // on the product; recall stays exactly 1.0, candidates drop by the
+    // pairs whose matching gram sits too deep in either doc.
+    val cand = probe.as("p").join(ranked.as("q"),
         col("p.lang") === col("q.lang") && col("p.gh") === col("q.gh") &&
-          col("p.doc_id") =!= col("q.doc_id"))
+          col("p.doc_id") =!= col("q.doc_id") &&
+          least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+            lit(0.79995) * col("p.sz") - lit(1))
       .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
         greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
       .distinct()
