@@ -936,6 +936,103 @@ object DedupOps {
       |  coalesce(r.text_clean, '') AS text_clean
       |FROM n LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** Exact-substring (span) dedup — the ExactSubstr operator of the
+    * training-data dedup literature ("Deduplicating Training Data Makes
+    * Language Models Better"): any w-token window (w=16, stride 1) that
+    * occurs MORE THAN ONCE in the corpus is a duplicate span, and every
+    * occurrence except the canonical first (min doc_id, then min pos)
+    * is emitted for removal. Line dedup (above) catches repeated
+    * paragraph-aligned chunks; this catches repeats at ANY offset — the
+    * quoted boilerplate, licence headers, and template fragments that
+    * cross chunk boundaries.
+    *
+    * 100 TB shape: the window stream is ~|corpus tokens| slim rows of
+    * (doc_id, pos, span_h) — 20 bytes each, ONE exchange keyed on the
+    * span hash; each window partition is the occurrence list of a
+    * single span (tiny), so the rank-and-drop is embarrassingly
+    * parallel. The literature's suffix-array formulation finds maximal
+    * repeats exactly but needs a global sorted structure; fixed-w
+    * windows are the standard relational approximation (a repeat of
+    * length L ≥ w is caught by all L−w+1 of its windows — the caller
+    * coalesces adjacent positions when cutting).
+    */
+  def docSpanDedup(spark: SparkSession, sfDir: String, w: Int = 16): DataFrame = {
+    val win = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(shinglesWSql("t", w))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(h32Sql("sh")).as("span_h"))
+    win
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("span_h")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"), col("span_h"))
+  }
+
+  val docSpanDedupSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |w0 AS (SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks) - 15, 0) + 1)) AS i FROM t),
+      |w AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[i : i + 15], ' ')), 1, 8))::BIGINT AS span_h
+      |  FROM w0)
+      |SELECT doc_id, pos, span_h FROM w
+      |QUALIFY row_number() OVER (PARTITION BY span_h ORDER BY doc_id, pos) > 1""".stripMargin
+
+  /** Apply step of [[docSpanDedup]]: cut every token covered by a
+    * removed span (the union of [pos, pos+w−1] over a doc's removal
+    * list — for a repeat of length L ≥ w, exactly the L repeated
+    * tokens) and rebuild the text. The removal list is aggregated to
+    * one small array per affected doc and joined back; coverage is then
+    * a NARROW indexed-lambda filter over the token array — per-doc
+    * cost O(n_tokens · |spans|) with no further shuffle, the right
+    * trade when removal lists are short (they are: only duplicated
+    * docs carry any).
+    */
+  def docSpanClean(spark: SparkSession, sfDir: String, w: Int = 16): DataFrame = {
+    val rem = docSpanDedup(spark, sfDir, w)
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("ps"))
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .join(rem, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        col("t"), col("ps"))
+      .withColumn("keep",
+        expr(s"filter(t, (tok, i) -> NOT exists(ps, p -> i >= p AND i <= p + ${w - 1}))"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("keep"))).cast("long").as("n_removed"),
+        array_join(col("keep"), " ").as("text_clean"))
+  }
+
+  val docSpanCleanSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |w0 AS (SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks) - 15, 0) + 1)) AS i FROM t),
+      |w AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[i : i + 15], ' ')), 1, 8))::BIGINT AS span_h
+      |  FROM w0),
+      |rem AS (SELECT doc_id, pos FROM w
+      |  QUALIFY row_number() OVER (PARTITION BY span_h ORDER BY doc_id, pos) > 1),
+      |cov AS (SELECT DISTINCT r.doc_id, r.pos + u.d AS i
+      |  FROM rem r CROSS JOIN (SELECT unnest(range(0, 16)) AS d) u),
+      |tp AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t),
+      |kept AS (SELECT tp.doc_id, tp.i, tp.toks[tp.i + 1] AS tok
+      |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+      |  WHERE cov.i IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY i) AS text_clean
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+      |  (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+      |  coalesce(a.text_clean, '') AS text_clean
+      |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** Incremental dedup — the nightly-batch pattern: admit an incoming
     * document increment only if it does NOT near-dup the existing corpus
     * (MinHash band collision candidates, exact-Jaccard ≥ 0.5 confirm).

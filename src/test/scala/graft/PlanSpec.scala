@@ -257,6 +257,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("doc_span_dedup: one exchange keyed on the span hash, slim rows") {
+    // the window stream must shuffle (doc_id, pos, span_h) only — never
+    // tokens or shingle strings — and exactly once
+    assert(countExchanges("doc_span_dedup") == 1)
+  }
+
   test("q20_approx plans no global sort (the point of the sketch twin)") {
     val p = plan("q20_approx")
     assert(!p.contains("Sort ["), s"boundary lookup must not sort:\n$p")
