@@ -38,17 +38,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // locals freshName'd: a bare `int i` is a Janino redefinition error when
+  // the enclosing generated function already declares one (fallback to
+  // interpreted — silent, and exactly the codegen exit this kernel exists
+  // to avoid)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $a.getDouble(i);
-         |  double y = $b.getDouble(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -37,18 +37,26 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  // all locals are freshName'd: Java forbids shadowing an enclosing
+  // generated function's locals (a bare `int i` fails Janino compilation
+  // inside e.g. a WindowExec/HashAggregate body that already declares i,
+  // silently dropping the stage to interpreted fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       s"""
-         |int n = $a.numElements(); int m = $b.numElements();
-         |int i = 0; int j = 0; int inter = 0;
-         |while (i < n && j < m) {
-         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
-         |  if (xi == yj) { inter++; i++; j++; }
-         |  else if (xi < yj) { i++; } else { j++; }
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $inter++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |int union = n + m - inter;
-         |${ev.value} = union == 0 ? 0.0 : ((double) inter) / union;
+         |int $union = $n + $m - $inter;
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
        """.stripMargin
     })
 
@@ -95,13 +103,15 @@ case class BitmapAndCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long c = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  c += java.lang.Long.bitCount($a.getLong(i) & $b.getLong(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
@@ -137,15 +147,19 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       s"""
-         |int n = $a.numElements(); int m = $b.numElements();
-         |int i = 0; int j = 0; long inter = 0L;
-         |while (i < n && j < m) {
-         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
-         |  if (xi == yj) { inter++; i++; j++; }
-         |  else if (xi < yj) { i++; } else { j++; }
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $inter++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |${ev.value} = inter;
+         |${ev.value} = $inter;
        """.stripMargin
     })
 

@@ -47,20 +47,24 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     out
   }
 
+  // loop vars freshName'd too: even `for (int i ...)` is a Janino
+  // redefinition error when the enclosing generated function declares i
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cnt = ctx.freshName("cnt")
       val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val j2 = ctx.freshName("j2"); val h = ctx.freshName("h")
       s"""
          |int $n = $a.numElements();
          |int[] $cnt = new int[32];
-         |for (int i = 0; i < $n; i++) {
-         |  long h = $a.getLong(i);
-         |  for (int j = 0; j < 32; j++) { $cnt[j] += (int) ((h >>> j) & 1L); }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) { $cnt[$j] += (int) (($h >>> $j) & 1L); }
          |}
          |${ev.value} = 0L;
-         |for (int j = 0; j < 32; j++) {
-         |  if (2 * $cnt[j] > $n) ${ev.value} |= 1L << j;
+         |for (int $j2 = 0; $j2 < 32; $j2++) {
+         |  if (2 * $cnt[$j2] > $n) ${ev.value} |= 1L << $j2;
          |}
        """.stripMargin
     })

@@ -176,6 +176,85 @@ object DedupOps {
         |FROM cand JOIN shs x ON cand.a_id = x.doc_id
         |          JOIN shs y ON cand.b_id = y.doc_id""".stripMargin
 
+  /** Recall of the MinHash-LSH near-dup detector against exact ground
+    * truth at Jaccard ≥ 0.5 — the measurement every sketch-based dedup
+    * deployment runs before trusting its band/row configuration (4×2
+    * here: P(candidate) = 1−(1−s²)⁴, ≈ 0.68 at s = 0.5, rising steeply
+    * above). One row out: true pair count, LSH-caught count, recall.
+    *
+    * The truth side must not itself miss pairs, so candidates come from
+    * an EXACT-RECALL prefix filter (same principle as
+    * [[ngramContainmentBanded]]): J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so at
+    * most ⌊(1−t)·|A|⌋ of A's shingles are missing from B and any
+    * ⌊|A|/2⌋+2 of them (t = 0.5, +1 slop for the round-to-4 the hit side
+    * applies) include one shared with B — in particular the ⌊|A|/2⌋+2
+    * RAREST by corpus document frequency, whose posting lists are the
+    * shortest. Probe prefix vs full postings on the shingle hash, dedup
+    * the id pairs, confirm with the exact string-set Jaccard (identical
+    * formula to the LSH verification, so hits ⊆ truth by construction).
+    *
+    * Scale shape: df and ranking shuffle slim (doc_id, gh) rows; the
+    * candidate join is keyed on gh with prefix-bounded fan-out; the
+    * confirm fetches each shingle set once by id equijoin. Nothing is
+    * all-pairs, nothing single-task — the truth pass costs a constant
+    * factor over the LSH run itself, which is what makes the measurement
+    * runnable on a production sample rather than a toy.
+    */
+  def dedupLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val thr = 0.5
+    val shs = withSignature(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+      .withColumn("sz", size(col("shset")))
+      .transform(CacheScope.barrier) // postings, prefix rank, and confirm all reuse
+    val posting = shs.select(col("doc_id"), col("sz"), explode(col("shset")).as("s"))
+      .withColumn("gh", expr(h32Sql("s")))
+      .select(col("doc_id"), col("sz"), col("gh"))
+    val dfreq = posting.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val ranked = posting.join(dfreq, Seq("gh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
+      .select(col("doc_id"), col("sz"), col("gh"), col("rk"))
+      .transform(CacheScope.barrier) // probe and index sides share one ranking pass
+    val probe = ranked.filter(col("rk") <= expr("sz div 2") + lit(2))
+    val cand = probe.as("p").join(ranked.as("q"),
+        col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id"))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
+      .distinct()
+    val truth = cand
+      .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+      .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+      .withColumn("jacc",
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          (size(col("a_sh")) + size(col("b_sh"))
+            - size(array_intersect(col("a_sh"), col("b_sh")))), 4))
+      .filter(col("jacc") >= thr)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = minhashLshPairs(spark, sfDir).filter(col("jacc") >= thr)
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nHit) // two 1-row aggregates — the intended nested loop
+      .select(col("n_true"), col("n_hit"),
+        expr("IF(n_true = 0, 1.0, round(n_hit / n_true, 4))").as("recall"))
+  }
+
+  val dedupLshRecallSql: String =
+    s"""WITH lsh AS ($minhashLshPairsSql),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shset
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       |        FROM documents)),
+       |truth AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.shset, b.shset))::DOUBLE /
+       |      (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))), 4) >= 0.5)
+       |SELECT t.n_true, h.n_hit,
+       |  CASE WHEN t.n_true = 0 THEN 1.0 ELSE round(h.n_hit::DOUBLE / t.n_true, 4) END AS recall
+       |FROM (SELECT count(*) AS n_true FROM truth) t,
+       |     (SELECT count(*) AS n_hit FROM lsh WHERE jacc >= 0.5) h""".stripMargin
+
   /** SimHash signatures: 32-bit majority-bit sketch over token hashes
     * (each token digested once; 32 bit-positions aggregated from the
     * precomputed hash array).
@@ -593,6 +672,68 @@ object DedupOps {
       |      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jacc
       |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
       |WHERE jacc >= 0.4""".stripMargin
+
+  /** Jaccard pairs, scale tier: the same result as [[ngramJaccardPairs]]
+    * (same oracle — the (lang × length-bucket) block semantics are kept
+    * as a candidate FILTER) with the all-pairs-within-block join replaced
+    * by exact-recall prefix filtering, making the EXACT Jaccard join
+    * viable at corpus scale rather than only inside small blocks — the
+    * MinHash family stays the approximate path, this is the exact one.
+    *
+    * Recall guarantee (t = 0.4): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A| (union ≥
+    * |A|), so at most ⌊0.6·|A|⌋ of A's grams are missing from B and any
+    * ⌊3|A|/5⌋+2 of them — in particular the rarest by within-language df
+    * — include one shared with B. Probing both directions (p↔q roles
+    * swap across the self-join) gives recall 1.0 by construction; the
+    * confirm runs the same codegen'd `jaccard_sorted` merge on the same
+    * hashed gram sets, so the emitted rows hash-match the quadratic tier
+    * exactly.
+    *
+    * The PPJoin positional filter tightens candidates in the common
+    * rarest-first order: J ≥ t needs |P∩Q| ≥ t·(|P|+|Q|)/(1+t), and
+    * grams at rank ≥ rk bound the intersection by
+    * min(|P|−rkP, |Q|−rkQ)+1; the −1 slack absorbs FP edges so recall
+    * stays exact.
+    *
+    * 100 TB shape: df and ranking are (lang, gh)- and doc-keyed shuffles
+    * of slim rows; the candidate join is keyed on (lang, lenb, gh) with
+    * prefix-bounded fan-out; the confirm fetches each gram set once by
+    * id. Nothing single-task, nothing all-pairs (PlanSpec-asserted).
+    */
+  def ngramJaccardBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    JaccardSimilarity.register(spark)
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("lenb", expr("n_chars div 100"))
+      .select(col("doc_id"), col("lang"), col("lenb"),
+        sort_array(array_distinct(
+          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+      .withColumn("sz", size(col("gr")))
+      .transform(CacheScope.barrier) // postings, ranking, and confirm all reuse
+    val posting = g.select(col("doc_id"), col("lang"), col("lenb"), col("sz"),
+      explode(col("gr")).as("gh"))
+    val dfreq = posting.groupBy(col("lang"), col("gh")).agg(count(lit(1)).as("df"))
+    val ranked = posting.join(dfreq, Seq("lang", "gh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
+      .select(col("doc_id"), col("lang"), col("lenb"), col("sz"), col("gh"), col("rk"))
+      .transform(CacheScope.barrier) // probe and index sides share one ranking pass
+    val probe = ranked.filter(col("rk") <= expr("(3 * sz) div 5") + lit(2))
+    val cand = probe.as("p").join(ranked.as("q"),
+        col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
+          col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id") &&
+          least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+            lit(0.4 / 1.4) * (col("p.sz") + col("q.sz")) - lit(1))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("a_id"), col("gr").as("ga")), Seq("a_id"))
+      .join(g.select(col("doc_id").as("b_id"), col("gr").as("gb")), Seq("b_id"))
+      .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
+      .filter(col("jacc") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
 
   /** Asymmetric containment pairs: C(A ⊂ B) = |A∩B| / |A| over the same
     * blocked char-4-gram sets as `ngramJaccardPairs` — the quote/subset

@@ -327,6 +327,79 @@ object TextOps {
       .agg(sum(col("n")).as("n_2grams"), max(col("n")).as("max_rep"),
         round(max(col("n")).cast("double") / sum(col("n")), 4).as("rep_ratio"))
 
+  /** Composite Gopher-style quality admission (Rae et al. 2021 §A.1.1,
+    * adapted to this corpus's newline-less docs): five per-document rules
+    * — token-count bounds, mean-word-length band, minimum stopword
+    * evidence, distinct-token ratio, and the duplicate-2-gram share from
+    * [[docRep2gram]] — each emitted as a 0/1 flag plus the conjunction
+    * (`admit`). Pipelines threshold on `admit` but keep the per-rule flags
+    * for ablation/debugging, so both are first-class output columns.
+    *
+    * Thresholds are set so every rule fires both ways on the synthetic
+    * corpus (token count spans 10–100, rule 25–90; avg word length
+    * 3.5–5.7, rule ≥ 3.8; stopwords 0–14, rule ≥ 1; uniq ratio 0.27–1.0,
+    * rule ≥ 0.30; rep ratio 0.01–0.22, rule ≤ 0.10).
+    *
+    * Scale shape: four rules are scan-fused per-row expressions; the rep
+    * rule reuses [[docRep2gram]]'s two map-side-combined aggregations, and
+    * the final join is doc_id-keyed carrying ~40 bytes/doc. Flags compare
+    * round(·,4) values against exact decimal literals, so the oracle
+    * comparison is drift-free.
+    */
+  def docGopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        round(expr("aggregate(t, 0L, (a, x) -> a + length(x))").cast("double")
+          / size(col("t")), 4).as("avg_token_len"),
+        expr(scoreSql("t", stopEn)).as("n_stop"),
+        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+          .as("uniq_ratio"))
+    val rep = docRep2gram(spark, sfDir).select(col("doc_id"), col("rep_ratio"))
+    base.join(rep, Seq("doc_id"), "left")
+      .withColumn("rep_ratio", coalesce(col("rep_ratio"), lit(0.0)))
+      .withColumn("r_len", col("n_tokens").between(25, 90).cast("int"))
+      .withColumn("r_wordlen",
+        (col("avg_token_len") >= 3.8 && col("avg_token_len") <= 10.0).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 1).cast("int"))
+      .withColumn("r_uniq", (col("uniq_ratio") >= 0.30).cast("int"))
+      .withColumn("r_rep", (col("rep_ratio") <= 0.10).cast("int"))
+      .withColumn("admit",
+        (col("r_len") * col("r_wordlen") * col("r_stop") * col("r_uniq") * col("r_rep"))
+          .cast("int"))
+  }
+
+  val docGopherFilterSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4) AS avg_token_len,
+       |    len(list_filter(t, x -> x IN ${inList(stopEn)})) AS n_stop,
+       |    round(len(list_distinct(t))::DOUBLE / len(t), 4) AS uniq_ratio
+       |  FROM t),
+       |rep AS (
+       |  SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS rep_ratio FROM (
+       |    SELECT doc_id, gram, count(*) AS n FROM (
+       |      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |        i -> t[i] || ' ' || t[i + 1])) AS gram FROM t)
+       |    GROUP BY doc_id, gram)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, avg_token_len, n_stop, uniq_ratio, rep_ratio,
+       |  r_len, r_wordlen, r_stop, r_uniq, r_rep,
+       |  (r_len * r_wordlen * r_stop * r_uniq * r_rep)::INTEGER AS admit
+       |FROM (
+       |  SELECT base.doc_id, n_tokens, avg_token_len, n_stop, uniq_ratio,
+       |    coalesce(rep_ratio, 0.0) AS rep_ratio,
+       |    (n_tokens BETWEEN 25 AND 90)::INTEGER AS r_len,
+       |    (avg_token_len >= 3.8 AND avg_token_len <= 10.0)::INTEGER AS r_wordlen,
+       |    (n_stop >= 1)::INTEGER AS r_stop,
+       |    (uniq_ratio >= 0.30)::INTEGER AS r_uniq,
+       |    (coalesce(rep_ratio, 0.0) <= 0.10)::INTEGER AS r_rep
+       |  FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id)""".stripMargin
+
   val docRep2gramSql: String =
     """SELECT doc_id, sum(n)::BIGINT AS n_2grams, max(n) AS max_rep,
       |  round(max(n)::DOUBLE / sum(n), 4) AS rep_ratio

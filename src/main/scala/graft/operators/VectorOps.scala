@@ -652,6 +652,119 @@ object VectorOps {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Scalar-quantized (SQ8) ANN with exact re-rank — the memory-compression
+    * tier between brute force and PQ: each dimension is affinely mapped to
+    * an int8 code via per-dimension corpus min/max, so a 64-dim float
+    * vector becomes 64 bytes (4× smaller; 16× vs the double working form).
+    * The approximate scan ranks by asymmetric cosine — full-precision
+    * query against DEQUANTIZED corpus codes (bucket midpoints) — keeps the
+    * top `cand` per query, then fetches the full vectors for those
+    * candidates only and re-ranks exactly. The standard FAISS
+    * `SQ8,Flat`-refine recipe, expressed as three joins.
+    *
+    * 100 TB shape: the dimension-stats pass is one slim aggregate
+    * broadcast back as a 1-row frame (the intended nested loop, like the
+    * kNN query broadcast); the approximate scan streams CODES (64 B/row,
+    * 4× the scan throughput of raw floats) against broadcast queries; the
+    * exact re-rank touches |Q|·cand rows via an id equijoin — the only
+    * access to full-precision vectors after quantization. All arithmetic
+    * is the same sequential double fold as [[embKnn]], so the DuckDB twin
+    * is bit-exact (quantize = floor((v−mn)/(mx−mn)·256) clamped to 255,
+    * identical operation order both sides).
+    */
+  def embSq8Knn(spark: SparkSession, sfDir: String): DataFrame =
+    embSq8Knn(spark, sfDir, cand = 20, topK = 5)
+
+  def embSq8Knn(spark: SparkSession, sfDir: String, cand: Int, topK: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+      .transform(CacheScope.barrier) // stats pass, code pass, queries, re-rank fetch
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy().agg(
+        expr("transform(sort_array(collect_list(struct(pos, mn))), z -> z.mn)").as("mns"),
+        expr("transform(sort_array(collect_list(struct(pos, mx))), z -> z.mx)").as("mxs"))
+    val codes = e.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("n_id"),
+        expr(s"""transform(sequence(1, $dims), i ->
+                |  IF(element_at(mxs, i) = element_at(mns, i), CAST(0 AS BIGINT),
+                |     least(CAST(255 AS BIGINT),
+                |       CAST(floor((element_at(v, i) - element_at(mns, i)) /
+                |         (element_at(mxs, i) - element_at(mns, i)) * 256) AS BIGINT))))""".stripMargin)
+          .as("code"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("n_id").asc)
+    val cands = codes.crossJoin(broadcast(stats))
+      .withColumn("dec",
+        expr(s"""transform(sequence(1, $dims), i ->
+                |  element_at(mns, i) + (element_at(code, i) + 0.5D) *
+                |    (element_at(mxs, i) - element_at(mns, i)) / 256)""".stripMargin))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("acos", expr("cosine_sim(qv, dec)"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= cand)
+      .select(col("q_id"), col("n_id"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    cands
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("cv")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB twin of [[embSq8Knn]] (cand=20, top-5). */
+  val embSq8KnnSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM s, range(1, ${dims + 1}) t(i) GROUP BY i),
+       |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM d),
+       |codes AS (
+       |  SELECT vec_id, list_transform(range(1, ${dims + 1}), i ->
+       |    CASE WHEN mxs[i] = mns[i] THEN 0::BIGINT
+       |         ELSE least(255::BIGINT,
+       |           floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 256)::BIGINT) END) AS code
+       |  FROM s, st),
+       |dec AS (
+       |  SELECT vec_id, list_transform(range(1, ${dims + 1}), i ->
+       |    mns[i] + (code[i] + 0.5) * (mxs[i] - mns[i]) / 256) AS dv
+       |  FROM codes, st),
+       |qn AS (
+       |  SELECT vec_id AS q_id, v AS qv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS qnrm
+       |  FROM s WHERE vec_id < 10),
+       |dn AS (
+       |  SELECT vec_id AS n_id, dv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> dv[i] * dv[i]))) AS dnrm
+       |  FROM dec),
+       |cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> qv[i] * dv[i]))
+       |          / (qnrm * dnrm) DESC, n_id ASC) AS arank
+       |    FROM qn, dn WHERE q_id <> n_id)
+       |  WHERE arank <= 20),
+       |full_n AS (
+       |  SELECT vec_id AS n_id, v AS cv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS cnrm
+       |  FROM s)
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT c.q_id, c.n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
+       |      / (qn.qnrm * f.cnrm) AS cos,
+       |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |      list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
+       |        / (qn.qnrm * f.cnrm) DESC, c.n_id ASC) AS rank
+       |  FROM cand c JOIN qn ON c.q_id = qn.q_id JOIN full_n f ON c.n_id = f.n_id)
+       |WHERE rank <= 5""".stripMargin
+
   /** Shared CTE chain for the trained-IVF oracle: kmeans rounds → pivots
     * → cell assignment → query probes → ranked candidates. Reused by
     * `embRecallSql`, whose exact side reuses the same `n` CTE.

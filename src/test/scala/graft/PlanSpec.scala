@@ -142,7 +142,9 @@ class PlanSpec extends SparkSpec {
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
       "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx",
       "ngram_containment_pairs", "emb_recall", // composes emb_knn + emb_ivf_trained
-      "dedup_ensemble_clusters") // composes embSemdedup's pivot broadcast
+      "dedup_ensemble_clusters", // composes embSemdedup's pivot broadcast
+      "emb_sq8_knn", // query-side broadcast vs codes + 1-row dim-stats broadcast
+      "dedup_lsh_recall") // two 1-row count aggregates crossed into the scalar row
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -255,6 +257,93 @@ class PlanSpec extends SparkSpec {
       val langOnly = joins.filter(k => k.contains("lang") && !k.contains("gh"))
       assert(langOnly.isEmpty, s"lang-only (all-pairs-in-language) join keys: $joins")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ngram_jaccard_banded: no single-task stage, no block-only self-join") {
+    // same contract as the containment banded tier: candidate generation
+    // must key on the gram hash, never degenerate to all-pairs within a
+    // (lang, lenb) block, and nothing may plan a single-task exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val plan = CacheScope.uncached(
+        SparkEntry.queries("ngram_jaccard_banded")(spark, sf)
+          .queryExecution.executedPlan)
+      val p = plan.toString
+      assert(!p.contains("SinglePartition"),
+        s"banded tier must not plan a single-task exchange:\n${p.take(4000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "candidate generation must stay an equijoin")
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.leftKeys.map(_.sql).mkString(",")
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys.map(_.sql).mkString(",")
+      }
+      val blockOnly = joins.filter(k => k.contains("lang") && !k.contains("gh"))
+      assert(blockOnly.isEmpty, s"block-only (all-pairs-in-block) join keys: $joins")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_lsh_recall: truth candidates come from a gh-keyed equijoin, slim rows") {
+    // the exact-recall truth side must never degenerate to all-pairs: the
+    // prefix-vs-postings join is keyed on the shingle hash, and its
+    // exchanges carry (doc_id, sz, gh[, df/rk]) — never shingle strings
+    // or shingle sets
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("dedup_lsh_recall")(spark, sf)
+          .queryExecution.executedPlan
+      }
+      val p = phys.toString
+      assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the measurement")
+      val ghShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("gh#") => s
+      }
+      assert(ghShuffles.nonEmpty, "expected shuffles keyed on the shingle hash")
+      ghShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c == "shset" || c == "s" || c.contains("text")),
+          s"shingle sets must not ride the posting exchange: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("emb_sq8_knn: approx scan emits slim id pairs; re-rank fetch is an id equijoin") {
+    // after quantization the only access to full-precision vectors must be
+    // the candidate fetch: the exchange feeding the re-rank join carries
+    // (q_id, n_id) ids only, never the decoded or raw vector columns
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("emb_sq8_knn")(spark, sf)
+          .queryExecution.executedPlan
+      }
+      assert(!phys.toString.contains("CartesianProduct"))
+      val idShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("n_id#") => s
+      }
+      assert(idShuffles.nonEmpty, "expected the candidate-fetch exchange keyed on n_id")
+      idShuffles.filter(_.output.length <= 2).foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c == "dec" || c == "v" || c == "code"),
+          s"candidate exchange must carry ids only: $cols")
+      }
+      assert(idShuffles.exists(_.output.length <= 2),
+        "at least one slim (q_id, n_id) candidate exchange expected")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("doc_span_dedup: one exchange keyed on the span hash, slim rows") {
