@@ -632,6 +632,52 @@ object DedupOps {
        |SELECT doc_id, lang, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT v FROM drops)""".stripMargin
 
+  /** Deduped corpus with keep-BEST representative selection: within each
+    * near-dup cluster keep the longest member (ties → lowest doc_id)
+    * instead of [[dedupCorpus]]'s lowest-id canonical. This is the choice
+    * production pipelines actually make — near-dup clusters usually hold
+    * one full document plus truncated/boilerplate-wrapped copies, and
+    * keep-min silently prefers whichever copy crawled first. Length is
+    * the standard proxy; swapping in any per-doc quality score (e.g.
+    * [[TextOps.docGopherFilter]]'s admit flags) changes one orderBy.
+    *
+    * Scale shape: the cluster label table is |cluster members| ≪ corpus
+    * (only docs with a near-dup edge), so the member ranking is a window
+    * over a tiny frame keyed by cluster_id, and the resulting drop list
+    * broadcasts into the anti-join — the corpus itself never shuffles,
+    * exactly like [[dedupCorpus]].
+    */
+  def dedupCorpusBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val members = dedupClusters(spark, sfDir) // memoized label table
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val drop = members
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val dedupCorpusBestSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jacc >= 0.5
+       |          UNION ALL SELECT b_id, a_id FROM pairs WHERE jacc >= 0.5),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+       |labels AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |ranked AS (
+       |  SELECT labels.doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY d.n_chars DESC, labels.doc_id) AS rk
+       |  FROM labels JOIN documents d ON labels.doc_id = d.doc_id)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)""".stripMargin
+
   /** Exact character-4-gram Jaccard pairs within a (lang × length-bucket)
     * block (quadratic — valid only inside bounded blocks; MinHash-LSH is
     * the unbounded-scale path). Length-bucketing is the standard trick:

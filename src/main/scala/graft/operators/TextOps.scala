@@ -412,4 +412,160 @@ object TextOps {
       |          FROM documents))
       |  GROUP BY doc_id, gram)
       |GROUP BY doc_id""".stripMargin
+
+  /** Count-Min sketch frequency estimation over the corpus 2-gram stream
+    * — the classic bounded-state streaming-frequency sketch (Cormode &
+    * Muthukrishnan 2005), complementing Misra-Gries (top-k identity) and
+    * HLL (cardinality): CMS answers point frequency queries with
+    * one-sided error (est ≥ true, overshoot ≤ εN w.h.p.) in d·w longs of
+    * state regardless of vocabulary size. d=4 rows use the same
+    * pairwise-independent family as MinHash ((Aᵢ·h + Bᵢ) mod P, then mod
+    * w=512 buckets); output compares the sketch estimate against the
+    * exact count for the top-100 grams, so the overshoot is visible in
+    * the result (est = n wherever no collision landed).
+    *
+    * Scale shape: the sketch build explodes each gram occurrence into d
+    * (row, bucket) pairs whose map-side partial count collapses every
+    * partition's contribution to ≤ d·w rows — the shuffle carries KBs at
+    * any corpus size, the defining CMS property. The probe side joins
+    * 100·d slim rows against the d·w-row sketch. All arithmetic is
+    * integer → bit-exact DuckDB oracle.
+    */
+  def docCmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFns.{MinhashA, MinhashB, MinhashP}
+    val d = 4
+    val w = 512
+    val aArr = MinhashA.take(d).mkString("array(", "L, ", "L)")
+    val bArr = MinhashB.take(d).mkString("array(", "L, ", "L)")
+    val bucketRows =
+      s"""transform(sequence(0, ${d - 1}), i -> named_struct(
+         |  'i', i,
+         |  'b', ((element_at($aArr, i + 1) * h + element_at($bArr, i + 1))
+         |        % ${MinhashP}L) % $w))""".stripMargin
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .select(explode(expr(grams2Sql("t"))).as("gram"))
+      .withColumn("h", expr(h32Sql("gram")))
+      .transform(graft.CacheScope.barrier) // sketch build + exact top-100 share the stream
+    val cms = grams
+      .select(explode(expr(bucketRows)).as("r"))
+      .groupBy(col("r.i").as("i"), col("r.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = grams
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(100)
+    top
+      .withColumn("h", expr(h32Sql("gram")))
+      .select(col("gram"), col("n"), explode(expr(bucketRows)).as("r"))
+      .select(col("gram"), col("n"), col("r.i").as("i"), col("r.b").as("b"))
+      .join(cms, Seq("i", "b"))
+      .groupBy(col("gram"), col("n"))
+      .agg(min(col("c")).as("est"))
+  }
+
+  val docCmsFreqSql: String = {
+    import graft.functions.TextFns.{MinhashA, MinhashB, MinhashP}
+    val d = 4
+    val w = 512
+    val aArr = MinhashA.take(d).mkString("[", ", ", "]")
+    val bArr = MinhashB.take(d).mkString("[", ", ", "]")
+    val bkt = s"(($aArr[i + 1] * h + $bArr[i + 1]) % $MinhashP) % $w"
+    s"""WITH g AS (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS gram
+       |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+       |        FROM documents)),
+       |gh AS (SELECT gram, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM g),
+       |cms AS (
+       |  SELECT i, $bkt AS b, count(*) AS c
+       |  FROM gh CROSS JOIN (SELECT unnest(range(0, $d)) AS i)
+       |  GROUP BY 1, 2),
+       |top AS (SELECT gram, count(*) AS n FROM g
+       |        GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100),
+       |probe AS (
+       |  SELECT gram, n, i, $bkt AS b
+       |  FROM (SELECT gram, n, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM top)
+       |       CROSS JOIN (SELECT unnest(range(0, $d)) AS i))
+       |SELECT gram, n, min(c) AS est
+       |FROM probe JOIN cms USING (i, b)
+       |GROUP BY gram, n""".stripMargin
+  }
+
+  /** Smoothed-bigram language-model score per document — the
+    * perplexity-proxy quality filter (CCNet trains a KenLM on a clean
+    * corpus and drops high-perplexity docs; here the model is trained on
+    * the corpus itself, which is the same operator shape: train counts,
+    * broadcast nothing, score by join). Score = mean over the doc's
+    * bigram OCCURRENCES of ln P(w2|w1) under add-½ smoothing,
+    * P(w2|w1) = (C(w1 w2) + ½) / (C(w1 ·) + ½·V); higher = more typical
+    * of the corpus, templated/duplicated text scores high, token-salad
+    * scores low.
+    *
+    * Float determinism: a per-doc sum of doubles is fold-ORDER-sensitive
+    * and Spark's partial aggregation order is not the oracle's, so each
+    * bigram's log-prob is quantized to integer micro-nats
+    * (round(lp·10⁶) as BIGINT) BEFORE summation — integer sums are
+    * order-free and exact — and the only float ops after the quantize are
+    * one division chain + round(·,4), identical in both engines. (The
+    * ln itself follows the [[docTfidfTop]] precedent: JVM `Math.log` and
+    * DuckDB `ln` agree to far beyond the quantization grid.)
+    *
+    * Scale shape: the model tables shuffle slim (gram, count) /
+    * (head, count) rows with map-side partials; scoring is two equijoins
+    * on those keys plus a 1-row broadcast for V; the per-doc reduce is an
+    * integer sum with map-side combine. Nothing is collected, nothing is
+    * all-pairs; the corpus text is scanned once for bigrams and once for
+    * the vocabulary count.
+    */
+  def docLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val bi = docs
+      .select(col("doc_id"), explode(expr(grams2Sql("t"))).as("g"))
+      .transform(graft.CacheScope.barrier) // model build + scoring share one pass
+    val c2 = bi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bi
+      .join(c2, Seq("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row scalar attach
+      .withColumn("lpq",
+        round(log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))) * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("slp"))
+      .withColumn("lm_score",
+        round(col("slp").cast("double") / col("n_bigrams") / lit(1000000.0), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
+  val docLmScoreSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS g FROM tok),
+      |c2 AS (SELECT g, count(*) AS c2 FROM bi GROUP BY g),
+      |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(t) AS w FROM tok)),
+      |sc AS (SELECT doc_id,
+      |    CAST(round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) * 1000000.0) AS BIGINT) AS lpq
+      |  FROM bi JOIN c2 USING (g)
+      |          JOIN c1 ON split_part(bi.g, ' ', 1) = c1.w1
+      |          CROSS JOIN v),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lpq) AS slp
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(round(agg.slp::DOUBLE / agg.n_bigrams / 1000000.0, 4), 0.0) AS lm_score
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 }
