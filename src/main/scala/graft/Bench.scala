@@ -117,7 +117,18 @@ object Bench {
         ",\"gc_ms\":" + s.gcMs + ",\"jit_ms\":" + s.jitMs + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.med).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"variance":$vari,"sf":"$sfDir"}""")
+    // The verbose variance map comes FIRST and the compact per-query medians
+    // LAST: the round-4 artifact was tail-truncated and, with the old order,
+    // lost the medians for ~100 of 120 queries. Tail truncation now destroys
+    // only diagnostics, never the record. A full copy is also written to
+    // BENCH_local.json next to the repo so the numbers survive any stdout
+    // mangling.
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","variance":$vari,"queries":$qs}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; stdout line is the contract
+    println(line)
     spark.stop()
   }
 }

@@ -351,10 +351,16 @@ object TextOps {
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"),
         size(col("t")).as("n_tokens"),
-        round(expr("aggregate(t, 0L, (a, x) -> a + length(x))").cast("double")
-          / size(col("t")), 4).as("avg_token_len"),
+        // zero-token guard: both engines tokenize empty text to [''] (size 1),
+        // but the operator must be total — a genuinely empty token array
+        // (null text under permissive ingest) scores 0, not null, so the
+        // downstream rule conjunction stays 0/1-valued
+        when(size(col("t")) === 0, lit(0.0))
+          .otherwise(round(expr("aggregate(t, 0L, (a, x) -> a + length(x))").cast("double")
+            / size(col("t")), 4)).as("avg_token_len"),
         expr(scoreSql("t", stopEn)).as("n_stop"),
-        round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+        when(size(col("t")) === 0, lit(0.0))
+          .otherwise(round(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4))
           .as("uniq_ratio"))
     val rep = docRep2gram(spark, sfDir).select(col("doc_id"), col("rep_ratio"))
     base.join(rep, Seq("doc_id"), "left")
@@ -376,9 +382,11 @@ object TextOps {
        |  FROM documents),
        |base AS (
        |  SELECT doc_id, len(t) AS n_tokens,
-       |    round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4) AS avg_token_len,
+       |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+       |      round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4) END AS avg_token_len,
        |    len(list_filter(t, x -> x IN ${inList(stopEn)})) AS n_stop,
-       |    round(len(list_distinct(t))::DOUBLE / len(t), 4) AS uniq_ratio
+       |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+       |      round(len(list_distinct(t))::DOUBLE / len(t), 4) END AS uniq_ratio
        |  FROM t),
        |rep AS (
        |  SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS rep_ratio FROM (
@@ -449,7 +457,8 @@ object TextOps {
       .transform(graft.CacheScope.barrier) // sketch build + exact top-100 share the stream
     val cms = grams
       .select(explode(expr(bucketRows)).as("r"))
-      .groupBy(col("r.i").as("i"), col("r.b").as("b"))
+      .select(col("r.i").as("i"), col("r.b").as("b")) // named keys -> named exchange (PlanSpec greps i#/b#)
+      .groupBy(col("i"), col("b"))
       .agg(count(lit(1)).as("c"))
     val top = grams
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))

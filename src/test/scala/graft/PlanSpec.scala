@@ -144,7 +144,8 @@ class PlanSpec extends SparkSpec {
       "ngram_containment_pairs", "emb_recall", // composes emb_knn + emb_ivf_trained
       "dedup_ensemble_clusters", // composes embSemdedup's pivot broadcast
       "emb_sq8_knn", // query-side broadcast vs codes + 1-row dim-stats broadcast
-      "dedup_lsh_recall") // two 1-row count aggregates crossed into the scalar row
+      "dedup_lsh_recall", // two 1-row count aggregates crossed into the scalar row
+      "doc_lm_score") // 1-row vocab-count broadcast (same pattern as doc_tfidf_top)
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -333,10 +334,16 @@ class PlanSpec extends SparkSpec {
             if s.outputPartitioning.toString.contains("n_id#") => s
       }
       assert(idShuffles.nonEmpty, "expected the candidate-fetch exchange keyed on n_id")
-      idShuffles.filter(_.output.length <= 2).foreach { s =>
+      // ALL n_id-keyed exchanges must be free of quantization internals: the
+      // approx-scan side ships (q_id, n_id) ids only, and the re-rank fetch
+      // side ships the full vector under its fetch alias `cv` — `dec` (the
+      // dequantized scan vector), `code` (the int8 codes), and the raw `v`
+      // never legitimately ride an n_id exchange. No slimness pre-filter:
+      // a regression routing a fat exchange must fail here, not slip past.
+      idShuffles.foreach { s =>
         val cols = s.output.map(_.name)
         assert(!cols.exists(c => c == "dec" || c == "v" || c == "code"),
-          s"candidate exchange must carry ids only: $cols")
+          s"n_id exchange must not carry quantization internals or raw vectors: $cols")
       }
       assert(idShuffles.exists(_.output.length <= 2),
         "at least one slim (q_id, n_id) candidate exchange expected")
@@ -344,6 +351,34 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("doc_cms_freq: the sketch-build exchange carries aggregated (i,b) partials, not grams") {
+    // the defining CMS property: every partition's gram stream collapses to
+    // <= d*w partial-count rows BEFORE the shuffle (map-side combine on the
+    // (row, bucket) key) — an exchange carrying raw gram strings keyed on
+    // (i, b) would ship the whole corpus and void the sketch's O(d*w) bound
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("doc_cms_freq")(spark, sf).queryExecution.executedPlan
+      }
+      val ibShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("i#")
+              && s.outputPartitioning.toString.contains("b#") => s
+      }
+      assert(ibShuffles.nonEmpty, "expected the sketch-build exchange keyed on (i, b)")
+      ibShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c == "gram" || c == "h" || c == "t" || c.contains("text")),
+          s"sketch exchange must carry only (i, b, partial count): $cols")
+        assert(cols.exists(_.startsWith("count")),
+          s"sketch exchange must carry a map-side partial count: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("doc_span_dedup: one exchange keyed on the span hash, slim rows") {
