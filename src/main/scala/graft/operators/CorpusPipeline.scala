@@ -64,6 +64,86 @@ object CorpusPipeline {
     (out, obs)
   }
 
+  /** The production-shaped end-to-end chain with keep-BEST canonical
+    * selection: near-dup dedup keeping the longest cluster member
+    * ([[DedupOps.dedupCorpusBest]]) → benchmark decontamination (drop
+    * train docs sharing a 5-gram with the stand-in eval slice, same
+    * `doc_id % 29` split as [[DedupOps.docDecontam]]) → quality gate →
+    * sequence packing over the SURVIVORS. Unlike [[corpusPrepared]]
+    * (keep-min, sample output), this emits the packed-loader metadata of
+    * [[SampleOps.docPack]] computed on the post-filter corpus — offsets
+    * shift with every upstream drop, so a hash-green row proves the four
+    * stages compose exactly, not just individually.
+    *
+    * Scale shape: both drop lists (near-dup members, contaminated docs)
+    * are ≪ corpus and broadcast into anti-joins; the quality gate is a
+    * scan-fused projection; the only exchange the corpus itself pays is
+    * the per-lang pack window — hash-distributed, never SinglePartition.
+    */
+  def corpusPreparedBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = DedupOps.dedupCorpusBest(spark, sfDir)
+      .filter(col("doc_id") % 29 =!= 0) // eval slice never ships in the corpus
+      .select(col("doc_id"), col("lang"))
+    val contaminated = DedupOps.docDecontam(spark, sfDir).select(col("doc_id"))
+    val quality = TextOps.docQuality(spark, sfDir)
+      .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("cum_end") - col("n_tok")).as("start_off"),
+        expr(s"(cum_end - n_tok) div ${SampleOps.Capacity}").as("first_chunk"),
+        expr(s"(cum_end - 1) div ${SampleOps.Capacity} - " +
+          s"(cum_end - n_tok) div ${SampleOps.Capacity} + 1").as("n_chunks"))
+  }
+
+  val corpusPreparedBestSql: String =
+    s"""WITH RECURSIVE pairs AS (${DedupOps.minhashLshPairsSql}),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jacc >= 0.5
+       |          UNION ALL SELECT b_id, a_id FROM pairs WHERE jacc >= 0.5),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+       |labels AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |ranked AS (
+       |  SELECT labels.doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY d.n_chars DESC, labels.doc_id) AS rk
+       |  FROM labels JOIN documents d ON labels.doc_id = d.doc_id),
+       |tok AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+       |  FROM documents),
+       |gh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+       |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+       |          || toks[i+3] || ' ' || toks[i+4]), 1, 8))::BIGINT))) AS g
+       |  FROM tok),
+       |ev AS (SELECT DISTINCT g FROM gh WHERE doc_id % 29 = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM gh
+       |           WHERE doc_id % 29 != 0 AND g IN (SELECT g FROM ev)),
+       |q AS (SELECT doc_id, len(toks) AS n_tok,
+       |        round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio
+       |      FROM tok),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, q.n_tok
+       |  FROM documents d JOIN q USING (doc_id)
+       |  WHERE d.doc_id % 29 != 0
+       |    AND q.n_tok >= 20 AND q.uniq_ratio >= 0.2
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam))
+       |SELECT doc_id, lang, n_tok,
+       |  CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+       |  CAST((sum(n_tok) OVER w - n_tok) // ${SampleOps.Capacity} AS BIGINT) AS first_chunk,
+       |  CAST((sum(n_tok) OVER w - 1) // ${SampleOps.Capacity}
+       |     - (sum(n_tok) OVER w - n_tok) // ${SampleOps.Capacity} + 1 AS BIGINT) AS n_chunks
+       |FROM kept
+       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   val corpusPreparedSql: String =
     """WITH canon AS (
       |  SELECT min(doc_id) AS doc_id FROM documents

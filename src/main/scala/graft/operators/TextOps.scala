@@ -557,6 +557,79 @@ object TextOps {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /** Held-out variant of [[docLmScore]] — the actual CCNet recipe: the
+    * bigram model trains on the clean slice (`doc_id % 5 != 0`, the same
+    * stand-in-split convention as `dedup_incremental` / `doc_decontam`)
+    * and scores the OTHER slice, so the score measures typicality under a
+    * reference corpus rather than self-perplexity. Unseen grams now
+    * exist: a scored bigram absent from the model takes C=0 on the
+    * missing side(s) via left joins, which add-½ smoothing turns into
+    * P = ½/(C(w1·)+½V) (and 1/V for an unseen head) — exactly the
+    * closed-form backoff the smoothing is for.
+    *
+    * Same scale shape and integer micro-nat quantization as
+    * [[docLmScore]]; the model tables are built from ~4/5 of the corpus
+    * and the scored stream is the remaining 1/5, joined on slim keys.
+    */
+  def docLmScoreHeldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val bi = docs
+      .select(col("doc_id"), explode(expr(grams2Sql("t"))).as("g"))
+      .transform(graft.CacheScope.barrier) // train counts + heldout stream share one pass
+    val train = bi.filter(col("doc_id") % 5 =!= 0)
+    val c2 = train.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bi.filter(col("doc_id") % 5 === 0)
+      .join(c2, Seq("g"), "left")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row scalar attach
+      .withColumn("lpq",
+        round(log((coalesce(col("c2"), lit(0L)) + lit(0.5))
+          / (coalesce(col("c1"), lit(0L)) + lit(0.5) * col("v"))) * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("slp"))
+      .withColumn("lm_score",
+        round(col("slp").cast("double") / col("n_bigrams") / lit(1000000.0), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
+  val docLmScoreHeldoutSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS g FROM tok),
+      |c2 AS (SELECT g, count(*) AS c2 FROM bi WHERE doc_id % 5 != 0 GROUP BY g),
+      |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+      |       FROM bi WHERE doc_id % 5 != 0 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 != 0)),
+      |sc AS (SELECT doc_id,
+      |    CAST(round(ln((coalesce(c2.c2, 0) + 0.5)
+      |      / (coalesce(c1.c1, 0) + 0.5 * v.v)) * 1000000.0) AS BIGINT) AS lpq
+      |  FROM bi LEFT JOIN c2 USING (g)
+      |          LEFT JOIN c1 ON split_part(bi.g, ' ', 1) = c1.w1
+      |          CROSS JOIN v
+      |  WHERE bi.doc_id % 5 = 0),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lpq) AS slp
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(round(agg.slp::DOUBLE / agg.n_bigrams / 1000000.0, 4), 0.0) AS lm_score
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |WHERE d.doc_id % 5 = 0""".stripMargin
+
   val docLmScoreSql: String =
     """WITH tok AS (SELECT doc_id,
       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t

@@ -145,7 +145,8 @@ class PlanSpec extends SparkSpec {
       "dedup_ensemble_clusters", // composes embSemdedup's pivot broadcast
       "emb_sq8_knn", // query-side broadcast vs codes + 1-row dim-stats broadcast
       "dedup_lsh_recall", // two 1-row count aggregates crossed into the scalar row
-      "doc_lm_score") // 1-row vocab-count broadcast (same pattern as doc_tfidf_top)
+      "doc_lm_score", // 1-row vocab-count broadcast (same pattern as doc_tfidf_top)
+      "doc_lm_score_heldout") // same 1-row vocab broadcast, train/heldout split
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -379,6 +380,18 @@ class PlanSpec extends SparkSpec {
           s"sketch exchange must carry a map-side partial count: $cols")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("corpus_prepared_best: drop lists broadcast; pack window hash-distributes") {
+    // the four-stage chain may cost the corpus only per-key exchanges: the
+    // near-dup and contamination drop lists must arrive as broadcasts, and
+    // the pack prefix-sum must partition by lang — a SinglePartition
+    // exchange anywhere means some stage collapsed to one task
+    val p = plan("corpus_prepared_best")
+    assert(!p.contains("Exchange SinglePartition"),
+      "corpus_prepared_best must not plan a single-partition exchange")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "drop lists should broadcast into the anti-joins")
   }
 
   test("doc_span_dedup: one exchange keyed on the span hash, slim rows") {
