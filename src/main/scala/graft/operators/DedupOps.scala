@@ -1143,18 +1143,30 @@ object DedupOps {
     * length L ≥ w is caught by all L−w+1 of its windows — the caller
     * coalesces adjacent positions when cutting).
     */
-  def docSpanDedup(spark: SparkSession, sfDir: String, w: Int = 16): DataFrame = {
-    val win = Tables.documents(spark, sfDir)
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), posexplode(expr(shinglesWSql("t", w))).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(h32Sql("sh")).as("span_h"))
+  def docSpanDedup(spark: SparkSession, sfDir: String, w: Int = 16): DataFrame =
+    spanRemovals(Tables.documents(spark, sfDir), w)
+
+  /** Core of [[docSpanDedup]] over any (doc_id, text) frame — shared with
+    * the streaming twin's batch-equivalence spec.
+    */
+  private[graft] def spanRemovals(docs: DataFrame, w: Int): DataFrame = {
+    val win = spanWindows(docs, w)
     win
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("span_h")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("pos"), col("span_h"))
   }
+
+  /** The slim (doc_id, pos, span_h) window stream both span-dedup twins
+    * rank over.
+    */
+  private[graft] def spanWindows(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(shinglesWSql("t", w))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(h32Sql("sh")).as("span_h"))
 
   val docSpanDedupSql: String =
     """WITH t AS (SELECT doc_id,
