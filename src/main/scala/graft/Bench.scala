@@ -62,8 +62,20 @@ object Bench {
     final case class Stat(med: Double, min: Double, max: Double,
                           warmups: Int, gcMs: Long, jitMs: Long)
 
+    // SPARK_GRAFT_BENCH_FAST=1: one warm-up + one timed run per query — for
+    // scale-sweep experiments (e.g. the 10× sf1 dataset) where the quadratic
+    // coverage twins run minutes per invocation and the stability protocol's
+    // 5–11 runs would take hours. The artifact of record (driver rounds)
+    // always uses the full protocol.
+    val fast = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
+
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Stat = {
       val g0 = gcMs(); val j0 = jitMs()
+      if (fast) {
+        val w = once(fn)
+        val t = once(fn)
+        return Stat(t, math.min(w, t), math.max(w, t), 1, gcMs() - g0, jitMs() - j0)
+      }
       // 1. stability-gated warm-up
       var last = once(fn)
       var warm = 1

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: derive an N×-scaled copy of a driver test-data directory
+  * for scale-linearity experiments (the sandbox ships sf0.1 as the
+  * largest scale; `BENCH_sf1.json` is produced against a 10× derivation).
+  *
+  * {{{ sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/scaledata/sf1 10" }}}
+  *
+  * Construction (replica k of N, key offset k·10⁷ so id spaces never
+  * collide):
+  *   - fact/dim tables: every foreign/primary key offset consistently,
+  *     so join fan-outs and group cardinalities scale by exactly N while
+  *     per-key row counts stay identical to the source;
+  *   - `region`/`nation`: single copy (fixed TPC-H dims — scaling data
+  *     does not mint new countries);
+  *   - `documents.text`: replica 0 verbatim; replicas k>0 suffix every
+  *     token with `rk` — this keeps length/token distributions while
+  *     making all shingles replica-distinct, so the corpus holds N×
+  *     the docs with the SAME per-replica dup structure (a naive copy
+  *     would make every doc a 10-member near-dup clique and blow the
+  *     pair outputs up ~45×, which is a different experiment);
+  *   - `embeddings`: vectors copied as-is under offset ids (ANN scoring
+  *     cost depends on row count, not value novelty; exact ties in
+  *     results are fine for a perf-only dataset).
+  *
+  * NEVER an oracle input — correctness runs stay on the driver's own
+  * parquet. Perf only.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, nStr) = args.take(3)
+    val n = nStr.toInt
+    val off = 10000000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Tables.events sets the nanosAsLong conf the raw events scan needs;
+    // the scaled copy then stores ts as epoch-nano longs, which the same
+    // loader reads back identically.
+    def read(t: String) =
+      if (t == "events") Tables.events(spark, src)
+      else spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    // replica k gets key offset k*off; f builds that replica's frame
+    def rep(t: String)(f: (DataFrame, Long, Int) => DataFrame): DataFrame = {
+      val d = read(t)
+      (0 until n).map(k => f(d, k.toLong * off, k)).reduce(_.unionAll(_))
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(rep("customer")((d, o, _) => d.withColumn("c_custkey", col("c_custkey") + lit(o))),
+      "customer")
+    write(rep("supplier")((d, o, _) => d.withColumn("s_suppkey", col("s_suppkey") + lit(o))),
+      "supplier")
+    write(rep("part")((d, o, _) => d.withColumn("p_partkey", col("p_partkey") + lit(o))),
+      "part")
+    write(rep("orders")((d, o, _) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(o))
+      .withColumn("o_custkey", col("o_custkey") + lit(o))), "orders")
+    write(rep("lineitem")((d, o, _) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(o))
+      .withColumn("l_partkey", col("l_partkey") + lit(o))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(o))), "lineitem")
+    write(rep("events")((d, o, _) => d
+      .withColumn("event_id", col("event_id") + lit(o))
+      .withColumn("user_id", col("user_id") + lit(o))), "events")
+    write(rep("documents")((d, o, k) => d
+      .withColumn("doc_id", col("doc_id") + lit(o))
+      .withColumn("text",
+        if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1r$k"))
+      .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+    write(rep("embeddings")((d, o, _) => d.withColumn("vec_id", col("vec_id") + lit(o))),
+      "embeddings")
+    spark.stop()
+  }
+}

@@ -114,6 +114,51 @@ object SampleOps {
       |        FROM documents))
       |WHERE h < p_bps""".stripMargin
 
+  /** Mixture rebalancing — deterministic downsampling to a target
+    * language mixture (the DoReMi/The-Pile-style domain-weights step:
+    * given target proportions, keep the largest corpus whose language
+    * shares hit them exactly). The binding language (smallest
+    * nₗ/wₗ) is kept whole; every other language is hash-thinned to its
+    * proportional target. ALL rate arithmetic is integer (basis
+    * points × a floor-divided scale), so both engines compute identical
+    * per-language keep thresholds and the md5 bucket test is exact.
+    *
+    * Scale shape: one slim (lang, count) aggregate; the 1-row scale
+    * minimum broadcasts back (the intended nested loop); the per-lang
+    * rate table (≤ |langs| rows) broadcast-joins into a scan-fused
+    * filter. The corpus itself never shuffles.
+    */
+  def docMixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val wExpr = "CASE lang WHEN 'en' THEN 4000L WHEN 'es' THEN 1500L " +
+      "WHEN 'fr' THEN 1500L WHEN 'de' THEN 1500L WHEN 'zh' THEN 1500L ELSE 0L END"
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("w_bps", expr(wExpr))
+      .filter(col("w_bps") > 0)
+      .transform(graft.CacheScope.barrier) // scale min + rate table share the agg
+    val scale = counts.agg(min(expr("n_l * 10000 div w_bps")).as("scale_x"))
+    val rates = counts.crossJoin(broadcast(scale)) // 1-row scalar attach
+      .withColumn("t_l", expr("w_bps * scale_x div 10000"))
+      .withColumn("p_bps", expr("t_l * 10000 div n_l"))
+      .select(col("lang"), col("p_bps"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(expr(s"${h32Sql("concat('mix|', cast(doc_id as string))")} % 10000") < col("p_bps"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val docMixtureSampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_l,
+      |    CASE lang WHEN 'en' THEN 4000 WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500
+      |              WHEN 'de' THEN 1500 WHEN 'zh' THEN 1500 ELSE 0 END AS w_bps
+      |  FROM c),
+      |s AS (SELECT min((n_l * 10000) // w_bps) AS scale_x FROM w WHERE w_bps > 0),
+      |r AS (SELECT lang, ((w_bps * scale_x) // 10000) AS t_l, n_l
+      |      FROM w CROSS JOIN s WHERE w_bps > 0),
+      |p AS (SELECT lang, (t_l * 10000) // n_l AS p_bps FROM r)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN p USING (lang)
+      |WHERE ('0x' || substr(md5('mix|' || doc_id), 1, 8))::BIGINT % 10000 < p.p_bps""".stripMargin
+
   /** Sequence packing (concat-and-chunk): lay documents end-to-end in
     * doc_id order within a language group and cut fixed-capacity
     * training sequences every `Capacity` tokens; emit each doc's start

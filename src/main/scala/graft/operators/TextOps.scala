@@ -501,6 +501,93 @@ object TextOps {
        |GROUP BY gram, n""".stripMargin
   }
 
+  /** Character-level Shannon entropy of the normalized text — the
+    * classic gibberish/repetition signal (random token-salad maximizes
+    * it, single-char spam minimizes it; natural language sits in a
+    * narrow band, so pipelines threshold both tails). Computed as
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over the character histogram — the
+    * factored form keeps the per-character terms integer-quantizable:
+    * each cᵢ·ln(cᵢ) is rounded to micro-nats (BIGINT) before the sum,
+    * the [[docLmScore]] determinism recipe, so the fold order can never
+    * flip a hash.
+    *
+    * Scale shape: pure per-row HOF over ≤37 distinct characters — no
+    * shuffle at all; the scan reads (doc_id, text) only.
+    */
+  def docEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("n", length(col("norm")))
+      // sequence(1, 0) DESCENDS in Spark (shinglesWSql's documented trap):
+      // greatest(n, 1) keeps it ascending; the n = 0 guard below makes the
+      // sentinel element irrelevant
+      .withColumn("chars",
+        expr("transform(sequence(1, greatest(n, 1)), i -> substring(norm, i, 1))"))
+      .withColumn("s", expr(
+        """aggregate(
+          |  transform(array_sort(array_distinct(chars)),
+          |    ch -> size(filter(chars, x -> x = ch))),
+          |  0L, (a, c) -> a + CAST(round(c * ln(c) * 1000000.0) AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars_norm"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(round(log(col("n")) - col("s") / lit(1000000.0) / col("n"), 4))
+          .as("entropy"))
+
+  val docEntropySql: String =
+    """WITH t AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |c AS (SELECT doc_id, length(norm) AS n,
+      |    list_transform(range(1, length(norm) + 1), i -> substr(norm, i, 1)) AS chars
+      |  FROM t),
+      |e AS (SELECT doc_id, n,
+      |    list_sum(list_transform(list_sort(list_distinct(chars)),
+      |      ch -> CAST(round(len(list_filter(chars, x -> x = ch))
+      |        * ln(len(list_filter(chars, x -> x = ch))) * 1000000.0) AS BIGINT))) AS s
+      |  FROM c)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_norm,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE round(ln(n) - s / 1000000.0 / n, 4) END AS entropy
+      |FROM e""".stripMargin
+
+  /** Per-source document cap — the domain-balancing admission step (a
+    * crawl is dominated by a few giant hosts; pipelines cap each
+    * source's contribution, keeping its best N docs). Quality proxy =
+    * n_chars (swap any score; one orderBy). Emits the kept docs with
+    * their within-source rank.
+    *
+    * Scale shape: top-N per group without a per-source global sort —
+    * phase 1 ranks inside (source, doc_id%16) salt cells and keeps N
+    * per cell (the map-side combine of top-N: the global per-source
+    * top-N is necessarily a subset of the union of cell top-Ns), so
+    * the final per-source window sees ≤ 16·N rows per source instead
+    * of a giant host's entire crawl — the standard fix for the
+    * single-hot-partition window at 100 TB.
+    */
+  def docSourceCap(spark: SparkSession, sfDir: String, capN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("salt", (col("doc_id") % 16).cast("int"))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("source"), col("salt"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("lrk") <= capN)
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= capN)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+  }
+
+  val docSourceCapSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rk
+      |FROM documents
+      |QUALIFY rk <= 5""".stripMargin
+
   /** Smoothed-bigram language-model score per document — the
     * perplexity-proxy quality filter (CCNet trains a KenLM on a clean
     * corpus and drops high-perplexity docs; here the model is trained on

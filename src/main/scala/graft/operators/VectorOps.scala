@@ -267,6 +267,40 @@ object VectorOps {
       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |        FROM embeddings))""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection to rpDims dimensions with a
+    * deterministic ±1 sign matrix (Achlioptas 2001: Rademacher entries
+    * preserve pairwise distances in expectation like Gaussian ones, and
+    * the matrix needs no storage — each sign is an integer formula of
+    * (j, i), identical in both engines). The scan-compression companion
+    * to [[embQuantize]]: SQ8 shrinks the VALUE axis, JL shrinks the
+    * DIMENSION axis (64→16 = 4× less arithmetic per candidate in a
+    * brute or IVF scan, re-ranked exactly like [[embSq8Knn]]).
+    *
+    * Determinism: the inner fold is the same ascending sequential double
+    * sum as [[embKnn]]'s dot product (DuckDB `list_sum` twin, bit-exact
+    * precedent), rounded to 6 decimals at the end.
+    *
+    * Scale shape: narrow per-row HOF, zero exchanges, nothing broadcast
+    * (the "matrix" is codegen'd arithmetic).
+    */
+  def embRp(spark: SparkSession, sfDir: String, rpDims: Int = 16): DataFrame =
+    withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(1, $rpDims), j ->
+           |  round(aggregate(sequence(1, $dims), CAST(0 AS DOUBLE),
+           |    (a, i) -> a + element_at(v, i) *
+           |      IF((((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0,
+           |         CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))), 6))""".stripMargin)
+        .as("proj"))
+
+  val embRpSql: String =
+    s"""SELECT vec_id, list_transform(range(1, ${16 + 1}), j ->
+       |  round(list_sum(list_transform(range(1, ${dims + 1}), i ->
+       |    v[i] * (CASE WHEN (((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0
+       |            THEN 1.0 ELSE -1.0 END))), 6)) AS proj
+       |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |      FROM embeddings)""".stripMargin
+
   /** Spherical k-means training (Lloyd iterations) — the centroid
     * trainer IVF deployments run before `embIvfKnn` probes. Fully
     * deterministic so the DuckDB oracle reproduces the fixed point:
