@@ -501,6 +501,43 @@ object TextOps {
        |GROUP BY gram, n""".stripMargin
   }
 
+  /** Fixed-weight logistic quality classifier — the model-based filter
+    * shape (DCLM / CCNet's fastText gate: a linear model over cheap
+    * per-doc features, thresholded). Weights are frozen constants here
+    * (a real deployment loads trained ones; the operator shape —
+    * scan-fused feature vector → dot product → threshold — is what
+    * matters). The sigmoid is never evaluated: admit thresholds the
+    * LOGIT at 0 (= P > ½), so no transcendental enters the
+    * cross-engine comparison; inputs are the round(·,4) features of
+    * [[docQuality]], the product-sum chain is written identically in
+    * both engines, and the logit is re-rounded to 4 decimals.
+    *
+    * Scale shape: inherits [[docQuality]]'s zero-exchange scan fusion;
+    * the classifier adds four multiplies per row.
+    */
+  def docQualityLogit(spark: SparkSession, sfDir: String): DataFrame =
+    docQuality(spark, sfDir)
+      // features re-quantized to integer 1e-4 grid (they were produced by
+      // round(.,4), so this is exact), then the whole dot product in scaled
+      // integers: logit*2e5 = -6e5 + 50*u4 + 120*s4 + 7*a4 — one float op
+      // (the final division) survives to the comparison
+      .withColumn("lq", expr(
+        """-600000L + 50L * CAST(round(uniq_ratio * 10000) AS BIGINT)
+          |         + 120L * CAST(round(stop_ratio * 10000) AS BIGINT)
+          |         + 7L * CAST(round(avg_token_len * 10000) AS BIGINT)""".stripMargin))
+      .select(col("doc_id"),
+        round(col("lq") / lit(200000.0), 4).as("logit"),
+        (col("lq") >= 0L).cast("int").as("admit"))
+
+  val docQualityLogitSql: String =
+    s"""SELECT doc_id, round(lq / 200000.0, 4) AS logit,
+       |  (lq >= 0)::INTEGER AS admit FROM (
+       |  SELECT doc_id,
+       |    -600000 + 50 * CAST(round(uniq_ratio * 10000) AS BIGINT)
+       |            + 120 * CAST(round(stop_ratio * 10000) AS BIGINT)
+       |            + 7 * CAST(round(avg_token_len * 10000) AS BIGINT) AS lq
+       |  FROM ($docQualitySql) q0)""".stripMargin
+
   /** Character-level Shannon entropy of the normalized text — the
     * classic gibberish/repetition signal (random token-salad maximizes
     * it, single-char spam minimizes it; natural language sits in a

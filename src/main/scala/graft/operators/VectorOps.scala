@@ -283,23 +283,106 @@ object VectorOps {
     * Scale shape: narrow per-row HOF, zero exchanges, nothing broadcast
     * (the "matrix" is codegen'd arithmetic).
     */
+  /** The JL projection of column `v`, shared by [[embRp]] and the
+    * [[embRpKnn]] approx scan.
+    */
+  private def rpProjSql(rpDims: Int): String =
+    s"""transform(sequence(1, $rpDims), j ->
+       |  round(aggregate(sequence(1, $dims), CAST(0 AS DOUBLE),
+       |    (a, i) -> a + element_at(v, i) *
+       |      IF((((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0,
+       |         CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))), 6))""".stripMargin
+
   def embRp(spark: SparkSession, sfDir: String, rpDims: Int = 16): DataFrame =
     withVec(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), expr(
-        s"""transform(sequence(1, $rpDims), j ->
-           |  round(aggregate(sequence(1, $dims), CAST(0 AS DOUBLE),
-           |    (a, i) -> a + element_at(v, i) *
-           |      IF((((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0,
-           |         CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))), 6))""".stripMargin)
-        .as("proj"))
+      .select(col("vec_id"), expr(rpProjSql(rpDims)).as("proj"))
 
-  val embRpSql: String =
-    s"""SELECT vec_id, list_transform(range(1, ${16 + 1}), j ->
+  private def rpProjDuck(rpDims: Int): String =
+    s"""list_transform(range(1, ${rpDims + 1}), j ->
        |  round(list_sum(list_transform(range(1, ${dims + 1}), i ->
        |    v[i] * (CASE WHEN (((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0
-       |            THEN 1.0 ELSE -1.0 END))), 6)) AS proj
+       |            THEN 1.0 ELSE -1.0 END))), 6))""".stripMargin
+
+  val embRpSql: String =
+    s"""SELECT vec_id, ${rpProjDuck(16)} AS proj
        |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |      FROM embeddings)""".stripMargin
+
+  /** ANN via the JL projection: approx-score every candidate against the
+    * broadcast queries in 16-d projected space (4× less arithmetic per
+    * row than the 64-d scan), keep `cand` per query, then fetch the
+    * full-precision vectors for those candidates ONLY and re-rank
+    * exactly — [[embSq8Knn]]'s refine recipe with the dimension axis
+    * compressed instead of the value axis. The projected cosine uses the
+    * same native kernel; both engines see the identical rounded
+    * projections, so candidate sets (and therefore results) match
+    * bit-for-bit.
+    *
+    * 100 TB shape: projection is scan-fused arithmetic (no stored
+    * matrix, nothing broadcast for it); the approx scan streams 16-d
+    * rows against broadcast queries; the re-rank is a slim (q_id, n_id)
+    * id equijoin — the only access to 64-d vectors after projection.
+    */
+  def embRpKnn(spark: SparkSession, sfDir: String,
+               cand: Int = 20, topK: Int = 5): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+      .transform(CacheScope.barrier) // projection pass, queries, re-rank fetch
+    val pr = e.select(col("vec_id"), expr(rpProjSql(16)).as("proj"))
+    val qp = pr.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("proj").as("qproj"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("n_id").asc)
+    val cands = pr.select(col("vec_id").as("n_id"), col("proj"))
+      .join(broadcast(qp), col("q_id") =!= col("n_id"))
+      .withColumn("acos", expr("cosine_sim(qproj, proj)"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= cand)
+      .select(col("q_id"), col("n_id"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    cands
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("cv")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB twin of [[embRpKnn]] (cand=20, top-5). */
+  val embRpKnnSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |p AS (SELECT vec_id, ${rpProjDuck(16)} AS proj FROM s),
+       |pn AS (
+       |  SELECT vec_id, proj,
+       |    sqrt(list_sum(list_transform(range(1, 17), i -> proj[i] * proj[i]))) AS pnrm
+       |  FROM p),
+       |cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 17), i -> q.proj[i] * c.proj[i]))
+       |          / (q.pnrm * c.pnrm) DESC, c.vec_id ASC) AS arank
+       |    FROM pn q JOIN pn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |  WHERE arank <= 20),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS nrm
+       |  FROM s)
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT cand.q_id, cand.n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm) AS cos,
+       |    row_number() OVER (PARTITION BY cand.q_id ORDER BY
+       |      list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |        / (q.nrm * c.nrm) DESC, cand.n_id ASC) AS rank
+       |  FROM cand JOIN n q ON cand.q_id = q.vec_id
+       |            JOIN n c ON cand.n_id = c.vec_id)
+       |WHERE rank <= 5""".stripMargin
 
   /** Spherical k-means training (Lloyd iterations) — the centroid
     * trainer IVF deployments run before `embIvfKnn` probes. Fully

@@ -147,7 +147,8 @@ class PlanSpec extends SparkSpec {
       "dedup_lsh_recall", // two 1-row count aggregates crossed into the scalar row
       "doc_lm_score", // 1-row vocab-count broadcast (same pattern as doc_tfidf_top)
       "doc_lm_score_heldout", // same 1-row vocab broadcast, train/heldout split
-      "doc_mixture_sample") // 1-row mixture-scale minimum crossed into the rate table
+      "doc_mixture_sample", // 1-row mixture-scale minimum crossed into the rate table
+      "emb_rp_knn") // query-side broadcast vs projected scan, like emb_knn/emb_sq8_knn
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
