@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{BloomFns, CosineSimilarity, EditWithin1, JaccardSimilarity, L2Distance, SimHash32, WinnowKernel, ZValue}
+import graft.functions.{BloomFns, CharEntropyQ, CosineSimilarity, EditWithin1, JaccardSimilarity, JlProject, L2Distance, SimHash32, WinnowKernel, ZValue}
 
 /** Library entry point: one call wires everything a session needs —
   * the native codegen'd expressions (`cosine_sim`, `jaccard_sorted`,
@@ -23,6 +23,8 @@ object Graft {
     EditWithin1.register(spark)
     ZValue.register(spark)
     SimHash32.register(spark)
+    CharEntropyQ.register(spark)
+    JlProject.register(spark)
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, L2Distance, SimHash32, WinnowFingerprint, ZValue}
+import graft.functions.{BitmapAndCount, CharEntropyQ, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, JlProject, L2Distance, SimHash32, WinnowFingerprint, ZValue}
 
 /** `SparkSessionExtensions` injection point — the config-driven twin of
   * [[Graft.init]]: sessions created with
@@ -57,5 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash32", classOf[SimHash32],
       "simhash32(th) - 32-bit majority-vote SimHash of a hashed-token array")(
       es => SimHash32(es.head)))
+    ext.injectFunction(fn("char_entropy_q", classOf[CharEntropyQ],
+      "char_entropy_q(s) - sum of round(c*ln(c)*1e6) over the char histogram")(
+      es => CharEntropyQ(es.head)))
+    ext.injectFunction(fn("jl_project", classOf[JlProject],
+      "jl_project(v, k) - deterministic ±1 JL projection to k dims")(
+      es => JlProject(es(0), es(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

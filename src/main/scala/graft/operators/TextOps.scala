@@ -551,24 +551,17 @@ object TextOps {
     * Scale shape: pure per-row HOF over ≤37 distinct characters — no
     * shuffle at all; the scan reads (doc_id, text) only.
     */
-  def docEntropy(spark: SparkSession, sfDir: String): DataFrame =
+  def docEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.CharEntropyQ.register(spark)
     Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
       .withColumn("n", length(col("norm")))
-      // sequence(1, 0) DESCENDS in Spark (shinglesWSql's documented trap):
-      // greatest(n, 1) keeps it ascending; the n = 0 guard below makes the
-      // sentinel element irrelevant
-      .withColumn("chars",
-        expr("transform(sequence(1, greatest(n, 1)), i -> substring(norm, i, 1))"))
-      .withColumn("s", expr(
-        """aggregate(
-          |  transform(array_sort(array_distinct(chars)),
-          |    ch -> size(filter(chars, x -> x = ch))),
-          |  0L, (a, c) -> a + CAST(round(c * ln(c) * 1000000.0) AS BIGINT))""".stripMargin))
+      .withColumn("s", expr("char_entropy_q(norm)")) // native one-pass histogram kernel
       .select(col("doc_id"), col("n").cast("long").as("n_chars_norm"),
         when(col("n") === 0, lit(0.0))
           .otherwise(round(log(col("n")) - col("s") / lit(1000000.0) / col("n"), 4))
           .as("entropy"))
+  }
 
   val docEntropySql: String =
     """WITH t AS (SELECT doc_id,

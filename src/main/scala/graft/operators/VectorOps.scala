@@ -284,18 +284,18 @@ object VectorOps {
     * (the "matrix" is codegen'd arithmetic).
     */
   /** The JL projection of column `v`, shared by [[embRp]] and the
-    * [[embRpKnn]] approx scan.
+    * [[embRpKnn]] approx scan: native k·d kernel for the sums, a
+    * k-element HOF for the round (Spark round semantics = oracle
+    * parity).
     */
   private def rpProjSql(rpDims: Int): String =
-    s"""transform(sequence(1, $rpDims), j ->
-       |  round(aggregate(sequence(1, $dims), CAST(0 AS DOUBLE),
-       |    (a, i) -> a + element_at(v, i) *
-       |      IF((((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0,
-       |         CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))), 6))""".stripMargin
+    s"transform(jl_project(v, $rpDims), x -> round(x, 6))"
 
-  def embRp(spark: SparkSession, sfDir: String, rpDims: Int = 16): DataFrame =
+  def embRp(spark: SparkSession, sfDir: String, rpDims: Int = 16): DataFrame = {
+    graft.functions.JlProject.register(spark)
     withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), expr(rpProjSql(rpDims)).as("proj"))
+  }
 
   private def rpProjDuck(rpDims: Int): String =
     s"""list_transform(range(1, ${rpDims + 1}), j ->
@@ -326,6 +326,7 @@ object VectorOps {
   def embRpKnn(spark: SparkSession, sfDir: String,
                cand: Int = 20, topK: Int = 5): DataFrame = {
     CosineSimilarity.register(spark)
+    graft.functions.JlProject.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"))
       .transform(CacheScope.barrier) // projection pass, queries, re-rank fetch
