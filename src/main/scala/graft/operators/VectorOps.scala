@@ -300,7 +300,7 @@ object VectorOps {
   private def rpProjDuck(rpDims: Int): String =
     s"""list_transform(range(1, ${rpDims + 1}), j ->
        |  round(list_sum(list_transform(range(1, ${dims + 1}), i ->
-       |    v[i] * (CASE WHEN (((12289 + 7 * j) * i + 101 * j + 13) % 2147483647) % 2 = 0
+       |    v[i] * (CASE WHEN ('0x' || substr(md5('rp|' || j || '|' || i), 1, 8))::BIGINT % 2 = 0
        |            THEN 1.0 ELSE -1.0 END))), 6))""".stripMargin
 
   val embRpSql: String =
@@ -309,8 +309,8 @@ object VectorOps {
        |      FROM embeddings)""".stripMargin
 
   /** ANN via the JL projection: approx-score every candidate against the
-    * broadcast queries in 16-d projected space (4× less arithmetic per
-    * row than the 64-d scan), keep `cand` per query, then fetch the
+    * broadcast queries in 32-d projected space (half the arithmetic per
+    * row of the 64-d scan), keep `cand` per query, then fetch the
     * full-precision vectors for those candidates ONLY and re-rank
     * exactly — [[embSq8Knn]]'s refine recipe with the dimension axis
     * compressed instead of the value axis. The projected cosine uses the
@@ -318,19 +318,27 @@ object VectorOps {
     * projections, so candidate sets (and therefore results) match
     * bit-for-bit.
     *
+    * Parameter note (rpDims=32, cand=100): measured recall@5 0.76 at
+    * sf0.01 (vs trained IVF's 0.84 on the same corpus — IVF only
+    * misses cells, JL distorts the scores themselves). The sign matrix
+    * QUALITY is load-bearing: a structured parity "hash" measured 0.24
+    * (see [[graft.functions.JlProject]]); `emb_rp_recall` exists
+    * precisely to measure this trade on whatever corpus the pipeline
+    * runs on.
+    *
     * 100 TB shape: projection is scan-fused arithmetic (no stored
-    * matrix, nothing broadcast for it); the approx scan streams 16-d
+    * matrix, nothing broadcast for it); the approx scan streams 32-d
     * rows against broadcast queries; the re-rank is a slim (q_id, n_id)
     * id equijoin — the only access to 64-d vectors after projection.
     */
   def embRpKnn(spark: SparkSession, sfDir: String,
-               cand: Int = 20, topK: Int = 5): DataFrame = {
+               rpDims: Int = 32, cand: Int = 100, topK: Int = 5): DataFrame = {
     CosineSimilarity.register(spark)
     graft.functions.JlProject.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"))
       .transform(CacheScope.barrier) // projection pass, queries, re-rank fetch
-    val pr = e.select(col("vec_id"), expr(rpProjSql(16)).as("proj"))
+    val pr = e.select(col("vec_id"), expr(rpProjSql(rpDims)).as("proj"))
     val qp = pr.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("proj").as("qproj"))
     val q = e.filter(col("vec_id") < 10)
@@ -352,29 +360,32 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
-  /** DuckDB twin of [[embRpKnn]] (cand=20, top-5). */
-  val embRpKnnSql: String =
-    s"""WITH s AS (
+  /** Shared CTE chain of the [[embRpKnn]] DuckDB twin (also reused by
+    * [[embRpRecall]]): projections, projected-space candidates, and the
+    * exact re-rank inputs.
+    */
+  private val embRpKnnCtes: String =
+    s"""s AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |p AS (SELECT vec_id, ${rpProjDuck(16)} AS proj FROM s),
+       |p AS (SELECT vec_id, ${rpProjDuck(32)} AS proj FROM s),
        |pn AS (
        |  SELECT vec_id, proj,
-       |    sqrt(list_sum(list_transform(range(1, 17), i -> proj[i] * proj[i]))) AS pnrm
+       |    sqrt(list_sum(list_transform(range(1, 33), i -> proj[i] * proj[i]))) AS pnrm
        |  FROM p),
        |cand AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        list_sum(list_transform(range(1, 17), i -> q.proj[i] * c.proj[i]))
+       |        list_sum(list_transform(range(1, 33), i -> q.proj[i] * c.proj[i]))
        |          / (q.pnrm * c.pnrm) DESC, c.vec_id ASC) AS arank
        |    FROM pn q JOIN pn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-       |  WHERE arank <= 20),
+       |  WHERE arank <= 100),
        |n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS nrm
-       |  FROM s)
-       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  FROM s),
+       |rp_ranked AS (
        |  SELECT cand.q_id, cand.n_id,
        |    list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
        |      / (q.nrm * c.nrm) AS cos,
@@ -382,8 +393,44 @@ object VectorOps {
        |      list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
        |        / (q.nrm * c.nrm) DESC, cand.n_id ASC) AS rank
        |  FROM cand JOIN n q ON cand.q_id = q.vec_id
-       |            JOIN n c ON cand.n_id = c.vec_id)
+       |            JOIN n c ON cand.n_id = c.vec_id)""".stripMargin
+
+  /** DuckDB twin of [[embRpKnn]] (rpDims=32, cand=100, top-5). */
+  val embRpKnnSql: String =
+    s"""WITH $embRpKnnCtes
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM rp_ranked
        |WHERE rank <= 5""".stripMargin
+
+  /** Recall@5 of the JL-projected ANN against brute force — the audit
+    * row for the dimension-compression path, like [[embRecall]] for IVF.
+    * A miss means the true neighbor fell outside the 20 projected-space
+    * candidates (JL distortion); widening `cand` or `rpDims` raises it.
+    */
+  def embRpRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = embKnn(spark, sfDir).select(col("q_id"), col("n_id"))
+    val rp = embRpKnn(spark, sfDir)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(rp, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 4).as("recall_at_5"))
+  }
+
+  val embRpRecallSql: String =
+    s"""WITH $embRpKnnCtes,
+       |rp AS (SELECT q_id, n_id FROM rp_ranked WHERE rank <= 5),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |          / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+       |    FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 5)
+       |SELECT e.q_id,
+       |  round(sum(CASE WHEN r.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+       |    AS recall_at_5
+       |FROM exact e LEFT JOIN rp r ON e.q_id = r.q_id AND e.n_id = r.n_id
+       |GROUP BY e.q_id""".stripMargin
 
   /** Spherical k-means training (Lloyd iterations) — the centroid
     * trainer IVF deployments run before `embIvfKnn` probes. Fully

@@ -148,7 +148,8 @@ class PlanSpec extends SparkSpec {
       "doc_lm_score", // 1-row vocab-count broadcast (same pattern as doc_tfidf_top)
       "doc_lm_score_heldout", // same 1-row vocab broadcast, train/heldout split
       "doc_mixture_sample", // 1-row mixture-scale minimum crossed into the rate table
-      "emb_rp_knn") // query-side broadcast vs projected scan, like emb_knn/emb_sq8_knn
+      "emb_rp_knn", // query-side broadcast vs projected scan, like emb_knn/emb_sq8_knn
+      "emb_rp_recall") // composes emb_knn + emb_rp_knn (both allowlisted)
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -347,6 +348,37 @@ class PlanSpec extends SparkSpec {
         val cols = s.output.map(_.name)
         assert(!cols.exists(c => c == "dec" || c == "v" || c == "code"),
           s"n_id exchange must not carry quantization internals or raw vectors: $cols")
+      }
+      assert(idShuffles.exists(_.output.length <= 2),
+        "at least one slim (q_id, n_id) candidate exchange expected")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("emb_rp_knn: n_id exchanges carry no projections or raw vectors") {
+    // after projection the approx scan must ship (q_id, n_id) ids only and
+    // the re-rank fetch ships the vector under its fetch alias `cv` — the
+    // 16-d projections (proj) and raw `v` never ride an n_id exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      CacheScope.release()
+      spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("emb_rp_knn")(spark, sf).queryExecution.executedPlan
+      }
+      assert(!phys.toString.contains("CartesianProduct"))
+      val idShuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.outputPartitioning.toString.contains("n_id#") => s
+      }
+      assert(idShuffles.nonEmpty, "expected the candidate-fetch exchange keyed on n_id")
+      idShuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c == "proj" || c == "v" || c == "qproj"),
+          s"n_id exchange must not carry projections or raw vectors: $cols")
       }
       assert(idShuffles.exists(_.output.length <= 2),
         "at least one slim (q_id, n_id) candidate exchange expected")
