@@ -117,8 +117,16 @@ object StreamBench {
     val topk = runTyped("topk_mg", events.map(_.event_type),
       (ds: org.apache.spark.sql.Dataset[String]) =>
         graft.streaming.TopKStream.topk(ds, 64), "complete")
+    // Span dedup replays the documents table; a "record" here is a DOC
+    // (each fans out to ~n_tokens windows inside the pipeline)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val span = runTyped("span_dedup", docs,
+      (ds: org.apache.spark.sql.Dataset[(Long, String)]) =>
+        graft.streaming.SpanDedupStream.spanDedupStream(
+          ds.toDF("doc_id", "text")), "append")
 
-    val qs = Seq(t1, t2, fun, topk).map { case (n, rps, rows, p50) =>
+    val qs = Seq(t1, t2, fun, topk, span).map { case (n, rps, rows, p50) =>
       s""""$n":{"records_per_sec":${rps.round},"out_rows":$rows,"batch_ms_p50":$p50}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_throughput","unit":"records/sec","pipelines":$qs,"n_records":${frames.length},"sf":"$sfDir"}""")

@@ -28,11 +28,11 @@ case class CharEntropyQ(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_entropy_q"
 
   override def nullSafeEval(a: Any): Any =
-    CharEntropyQ.eval(a.asInstanceOf[UTF8String])
+    CharEntropyQ.compute(a.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.CharEntropyQ.eval($a);")
+      s"${ev.value} = graft.functions.CharEntropyQ.compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -41,9 +41,14 @@ case class CharEntropyQ(child: Expression) extends UnaryExpression {
 object CharEntropyQ {
   /** Shared by interpreted eval and codegen (one static call — the loop
     * is small enough that JIT inlines it; no Janino-side code to keep in
-    * sync with the interpreter).
+    * sync with the interpreter). Named `compute`, NOT `eval`: a companion
+    * method whose name collides with any member of the case class (here
+    * `Expression.eval`) gets no static forwarder on the class file, so
+    * Janino would resolve `CharEntropyQ.eval(...)` to the instance method
+    * and the generated code would fail to compile — silently falling the
+    * whole stage back to interpreted eval.
     */
-  def eval(s: UTF8String): Long = {
+  def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
     val cnt = new Array[Int](128)
     var i = 0

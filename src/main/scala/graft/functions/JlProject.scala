@@ -33,11 +33,11 @@ case class JlProject(child: Expression, rpDims: Int) extends UnaryExpression {
   override def prettyName: String = "jl_project"
 
   override def nullSafeEval(a: Any): Any =
-    JlProject.eval(a.asInstanceOf[ArrayData], rpDims)
+    JlProject.compute(a.asInstanceOf[ArrayData], rpDims)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.JlProject.eval($a, $rpDims);")
+      s"${ev.value} = graft.functions.JlProject.compute($a, $rpDims);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -72,7 +72,12 @@ object JlProject {
       out
     })
 
-  def eval(v: ArrayData, rpDims: Int): ArrayData = {
+  /** Named `compute`, not `eval`: an `eval` companion method collides
+    * with `Expression.eval`, which suppresses the static forwarder and
+    * makes the codegen call resolve to the instance method — Janino then
+    * fails and the stage silently falls back to interpreted eval.
+    */
+  def compute(v: ArrayData, rpDims: Int): ArrayData = {
     val d = v.numElements()
     val sg = signs(rpDims, d)
     val out = new Array[Double](rpDims)

@@ -1058,6 +1058,45 @@ object DedupOps {
       g.filter(col("doc_id") % 29 === 0))
   }
 
+  /** Fractional n-gram overlap decontamination — the graded variant of
+    * [[decontaminate]]: instead of a drop-list of docs with ANY shared
+    * gram, score EVERY training doc with the fraction of its distinct
+    * grams that appear in the eval set, and flag `contaminated` at a
+    * threshold on the rounded fraction. This is the published-model
+    * recipe where a document is discarded only when a substantial
+    * portion of it overlaps a benchmark (long docs that merely quote one
+    * eval sentence survive; short docs that ARE an eval item do not) —
+    * a different admission decision than the any-hit rule.
+    *
+    * Scale shape: same as [[decontaminate]] — eval grams broadcast, the
+    * training gram stream is pruned map-side, and the only exchanges are
+    * the per-doc hit count (rare rows by construction) and the slim
+    * (doc_id, n_grams) totals that AQE resolves as a broadcast join
+    * against it. Document text never shuffles.
+    */
+  def decontaminateOverlap(train: DataFrame, evalDocs: DataFrame,
+                           threshold: Double = 0.05): DataFrame = {
+    val evalGrams = evalDocs.select(explode(col("ghs")).as("gh")).distinct()
+    val tot = train.select(col("doc_id"), size(col("ghs")).as("n_grams"))
+    val hits = train.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4))
+          .as("overlap"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
+  def docDecontamOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = docGramHashes(spark, sfDir, 5)
+    decontaminateOverlap(
+      g.filter(col("doc_id") % 29 =!= 0),
+      g.filter(col("doc_id") % 29 === 0))
+  }
+
   /** Line-level (chunk-level) dedup, the CCNet/C4 paragraph pass: hash
     * each fixed-width word chunk, keep only the corpus-wide FIRST
     * occurrence of each distinct chunk (min (doc_id, position)), and
@@ -1328,6 +1367,26 @@ object DedupOps {
       |SELECT doc_id, count(*) AS n_overlap FROM e
       |WHERE doc_id % 29 != 0 AND gh IN (SELECT gh FROM ev)
       |GROUP BY doc_id""".stripMargin
+
+  val docDecontamOverlapSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+      |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |          || toks[i+3] || ' ' || toks[i+4]), 1, 8))::BIGINT)) AS ghs
+      |  FROM t),
+      |e AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
+      |ev AS (SELECT DISTINCT gh FROM e WHERE doc_id % 29 = 0),
+      |h AS (SELECT doc_id, count(*) AS n_hit FROM e
+      |      WHERE doc_id % 29 != 0 AND gh IN (SELECT gh FROM ev) GROUP BY doc_id)
+      |SELECT g.doc_id, len(g.ghs) AS n_grams, coalesce(h.n_hit, 0) AS n_hit,
+      |  CASE WHEN len(g.ghs) = 0 THEN 0.0
+      |       ELSE round(coalesce(h.n_hit, 0) / len(g.ghs), 4) END AS overlap,
+      |  (CASE WHEN len(g.ghs) = 0 THEN 0.0
+      |        ELSE round(coalesce(h.n_hit, 0) / len(g.ghs), 4) END >= 0.05) AS contaminated
+      |FROM g LEFT JOIN h USING (doc_id)
+      |WHERE g.doc_id % 29 != 0""".stripMargin
 
   /** Fuzzy (edit-distance ≤ 1) self-join via deletion neighborhoods —
     * the standard short-string near-match join (entity keys, titles,

@@ -88,6 +88,65 @@ object MergeOps {
         col("o_orderpriority"))
   }
 
+  /** Slowly-changing-dimension TYPE 2 build from an event changelog: the
+    * third member of the CDC-apply family (q26 `upsert` = overwrite
+    * history, q32 `latest` = keep only the newest state, scd2 = keep ALL
+    * states with validity intervals). Consecutive duplicate states
+    * collapse (a change row is emitted only when the tracked attribute
+    * actually changes); each surviving state carries
+    * `[valid_from, valid_to)` on the integer epoch-µs axis, a per-key
+    * `version` counter, and `is_current` on the open-ended row.
+    *
+    * Scale shape: both windows share one `(key)` hash partitioning and
+    * one `(ts, tie)` sort order, so the whole build is ONE exchange of
+    * slim (key, attr, ts, tie) rows — history length per key is bounded
+    * by that key's own change count, never corpus size. This is the plan
+    * a 100 TB changelog wants: no self-join of the log against itself
+    * (the naive SQL formulation), no global sort.
+    */
+  def scd2(log: DataFrame, key: String, attr: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieCol))
+    log.select(col(key), col(attr), col(tsCol), col(tieCol))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col(key), col(attr), col("valid_from"), col("valid_to"),
+        col("version"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** ev_scd2: type-2 history of each user's event_type over the events
+    * changelog, epoch-µs validity axis (ts is TIMESTAMP(NANOS), read as
+    * long nanos; `div 1000` is exact — the generator emits µs values).
+    */
+  def evScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("event_id"))
+    scd2(ev, "user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"),
+        col("version"), col("is_current"))
+  }
+
+  val evScd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, us, event_id FROM o
+      |  WHERE prev IS NULL OR prev != event_type)
+      |SELECT user_id, event_type, us AS valid_from_us,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version,
+      |  (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL) AS is_current
+      |FROM c""".stripMargin
+
   val q26UpsertSql: String =
     """WITH u AS (
       |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,

@@ -357,6 +357,75 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("doc_source_cap: salted cell rank precedes the per-source window") {
+    // phase 1 must rank inside (source, salt) cells so the final
+    // per-source window never sees a giant host's whole crawl: expect an
+    // exchange keyed on BOTH source and salt upstream of the source-only
+    // exchange, and text must ride neither
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("doc_source_cap")(spark, sf).queryExecution.executedPlan
+      }
+      val shuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      val parts = shuffles.map(_.outputPartitioning.toString)
+      assert(parts.exists(p => p.contains("source#") && p.contains("salt#")),
+        s"expected a (source, salt) cell exchange: $parts")
+      assert(parts.exists(p => p.contains("source#") && !p.contains("salt#")),
+        s"expected the final source-only exchange: $parts")
+      shuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(_.contains("text")),
+          s"document text must not ride a top-N exchange: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ev_scd2: one slim user_id exchange drives both window passes") {
+    // change-detect (lag) and interval-build (lead/row_number) share one
+    // (user_id) partitioning and one (us, event_id) sort, so the whole
+    // type-2 build must plan exactly ONE shuffle — and `props`/`value`
+    // must be pruned before it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("ev_scd2")(spark, sf).queryExecution.executedPlan
+      }
+      val shuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.length == 1,
+        s"expected exactly one exchange, got ${shuffles.length}")
+      assert(shuffles.head.outputPartitioning.toString.contains("user_id#"),
+        s"exchange must key on user_id: ${shuffles.head.outputPartitioning}")
+      val cols = shuffles.head.output.map(_.name)
+      assert(!cols.exists(c => c.contains("props") || c.contains("value")),
+        s"unprojected event payload rides the SCD2 exchange: $cols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("doc_decontam_overlap: eval grams broadcast; no sort-merge join on gh") {
+    // the training gram stream must probe a BROADCAST of the
+    // benchmark-sized eval grams (the 100 TB side never shuffles on gh);
+    // the only shuffles are doc_id-keyed count/total joins
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = CacheScope.uncached {
+        SparkEntry.queries("doc_decontam_overlap")(spark, sf).queryExecution.executedPlan
+      }
+      val s = phys.toString
+      assert(s.contains("BroadcastHashJoin"), "eval-gram probe must broadcast")
+      val ghShuffles = phys.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("gh#") => e
+      }
+      assert(ghShuffles.isEmpty,
+        s"training grams must not shuffle on gh: ${ghShuffles.map(_.outputPartitioning)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("emb_rp_knn: n_id exchanges carry no projections or raw vectors") {
     // after projection the approx scan must ship (q_id, n_id) ids only and
     // the re-rank fetch ships the vector under its fetch alias `cv` — the
