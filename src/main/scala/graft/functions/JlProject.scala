@@ -99,7 +99,13 @@ object JlProject {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jl_project",
-      exprs => JlProject(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => {
+        val k = if (exprs.length == 2 && exprs(1).foldable) exprs(1).eval(null) else null
+        k match {
+          case n: Number if n.intValue() > 0 => JlProject(exprs.head, n.intValue())
+          case _ => throw new IllegalArgumentException(
+            "jl_project(v, k) requires a positive integer literal k")
+        }
+      },
       "built-in")
 }

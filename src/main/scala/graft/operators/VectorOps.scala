@@ -291,10 +291,19 @@ object VectorOps {
   private def rpProjSql(rpDims: Int): String =
     s"transform(jl_project(v, $rpDims), x -> round(x, 6))"
 
+  /** Output is FLATTENED to scalar columns p0..p{k-1} (the minhashSig
+    * m0..m7 precedent): the driver's oracle comparator sorts rows by
+    * value to hash them and cannot sort a raw array column, so array
+    * results stay an internal representation and never cross the
+    * query-surface boundary unexploded.
+    */
   def embRp(spark: SparkSession, sfDir: String, rpDims: Int = 16): DataFrame = {
     graft.functions.JlProject.register(spark)
+    val flat = col("vec_id") +:
+      (0 until rpDims).map(j => col("proj").getItem(j).as(s"p$j"))
     withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), expr(rpProjSql(rpDims)).as("proj"))
+      .select(flat: _*)
   }
 
   private def rpProjDuck(rpDims: Int): String =
@@ -303,10 +312,13 @@ object VectorOps {
        |    v[i] * (CASE WHEN ('0x' || substr(md5('rp|' || j || '|' || i), 1, 8))::BIGINT % 2 = 0
        |            THEN 1.0 ELSE -1.0 END))), 6))""".stripMargin
 
-  val embRpSql: String =
-    s"""SELECT vec_id, ${rpProjDuck(16)} AS proj
-       |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |      FROM embeddings)""".stripMargin
+  val embRpSql: String = {
+    val flat = (0 until 16).map(j => s"proj[${j + 1}] AS p$j").mkString(", ")
+    s"""SELECT vec_id, $flat
+       |FROM (SELECT vec_id, ${rpProjDuck(16)} AS proj
+       |      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |            FROM embeddings))""".stripMargin
+  }
 
   /** ANN via the JL projection: approx-score every candidate against the
     * broadcast queries in 32-d projected space (half the arithmetic per
@@ -403,8 +415,9 @@ object VectorOps {
 
   /** Recall@5 of the JL-projected ANN against brute force — the audit
     * row for the dimension-compression path, like [[embRecall]] for IVF.
-    * A miss means the true neighbor fell outside the 20 projected-space
-    * candidates (JL distortion); widening `cand` or `rpDims` raises it.
+    * A miss means the true neighbor fell outside the `cand`
+    * projected-space candidates (default 100 — JL distortion); widening
+    * `cand` or `rpDims` raises it.
     */
   def embRpRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val exact = embKnn(spark, sfDir).select(col("q_id"), col("n_id"))

@@ -407,9 +407,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("doc_decontam_overlap: eval grams broadcast; no sort-merge join on gh") {
-    // the training gram stream must probe a BROADCAST of the
+    // the TRAINING gram stream must probe a BROADCAST of the
     // benchmark-sized eval grams (the 100 TB side never shuffles on gh);
-    // the only shuffles are doc_id-keyed count/total joins
+    // the eval side's own distinct() legitimately plans a gh exchange —
+    // but only inside a BroadcastExchange build (benchmark-sized rows).
+    // So: gh shuffles are allowed IFF they sit under a broadcast build;
+    // any gh shuffle on the probe path is the forbidden 100 TB exchange.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val phys = CacheScope.uncached {
@@ -417,12 +420,16 @@ class PlanSpec extends SparkSpec {
       }
       val s = phys.toString
       assert(s.contains("BroadcastHashJoin"), "eval-gram probe must broadcast")
-      val ghShuffles = phys.collect {
+      def ghShuffles(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.outputPartitioning.toString.contains("gh#") => e
       }
-      assert(ghShuffles.isEmpty,
-        s"training grams must not shuffle on gh: ${ghShuffles.map(_.outputPartitioning)}")
+      val underBroadcast = phys.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.flatMap(ghShuffles).toSet
+      val probeSide = ghShuffles(phys).filterNot(underBroadcast)
+      assert(probeSide.isEmpty,
+        s"training grams must not shuffle on gh: ${probeSide.map(_.outputPartitioning)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
