@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   *     per-key row counts stay identical to the source;
   *   - `region`/`nation`: single copy (fixed TPC-H dims — scaling data
   *     does not mint new countries);
-  *   - `documents.text`: replica 0 verbatim; replicas k>0 suffix every
-  *     token with `rk` — this keeps length/token distributions while
-  *     making all shingles replica-distinct, so the corpus holds N×
-  *     the docs with the SAME per-replica dup structure (a naive copy
-  *     would make every doc a 10-member near-dup clique and blow the
-  *     pair outputs up ~45×, which is a different experiment);
+  *   - `documents.text`: replica 0 verbatim; replicas k>0 apply a
+  *     per-replica character rotation (a Caesar bijection over a–z,
+  *     A–Z, 0–9 each rotated by k) — lengths, token boundaries, case
+  *     classes, and the per-replica dup structure are preserved
+  *     EXACTLY, while every word-shingle AND every char-n-gram becomes
+  *     replica-distinct. Round 5 salted by suffixing tokens, which
+  *     left char-4-gram sets largely shared across replicas and made
+  *     the containment family's candidate space grow quadratically in
+  *     the synthetic corpus (SCALE.md — the 33× sweep outlier); a
+  *     naive verbatim copy is worse still (every doc a 10-member
+  *     near-dup clique, ~45× pair blow-up);
   *   - `embeddings`: vectors copied as-is under offset ids (ANN scoring
   *     cost depends on row count, not value novelty; exact ties in
   *     results are fine for a perf-only dataset).
@@ -76,11 +81,18 @@ object ScaleData {
     write(rep("events")((d, o, _) => d
       .withColumn("event_id", col("event_id") + lit(o))
       .withColumn("user_id", col("user_id") + lit(o))), "events")
+    // per-replica Caesar bijection: rotate each character class by k
+    def rotated(k: Int): (String, String) = {
+      val classes = Seq("abcdefghijklmnopqrstuvwxyz",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "0123456789")
+      def rot(s: String) = { val n = k % s.length; s.drop(n) + s.take(n) }
+      (classes.mkString, classes.map(rot).mkString)
+    }
     write(rep("documents")((d, o, k) => d
       .withColumn("doc_id", col("doc_id") + lit(o))
       .withColumn("text",
         if (k == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", s"$$1r$k"))
+        else { val (from, to) = rotated(k); translate(col("text"), from, to) })
       .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
     write(rep("embeddings")((d, o, _) => d.withColumn("vec_id", col("vec_id") + lit(o))),
       "embeddings")

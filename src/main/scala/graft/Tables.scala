@@ -22,15 +22,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a Long of epoch-nanos instead.
+  /** `events.ts` loads as a Long of epoch-nanos regardless of the physical
+    * parquet type — the generator has shipped BOTH over time:
+    *
+    *   - TIMESTAMP(NANOS), which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL])
+    *     unless read as a nano long via `nanosAsLong`;
+    *   - `timestamp[us]` (isAdjustedToUTC=false → TIMESTAMP_NTZ), which
+    *     this loader converts back to the nano-long axis
+    *     (`unix_micros * 1000`; sessions pin UTC, so the NTZ wall clock
+    *     IS the epoch value, bit-exact with DuckDB's `epoch_us(ts)`).
+    *
     * All event-time arithmetic downstream is on integer microseconds
-    * (`ts_us = ts div 1000`), which matches DuckDB's `epoch_us(ts)` axis
-    * exactly (Spark's timestamp type is µs anyway).
+    * (`ts_us = ts div 1000`) either way — a projection folded into the
+    * scan, never a second pass.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -135,7 +135,7 @@ object MergeOps {
 
   val evScd2Sql: String =
     """WITH o AS (
-      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |  SELECT user_id, event_type, us, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
       |  FROM (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events)),
       |c AS (

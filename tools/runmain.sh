@@ -1,0 +1,21 @@
+#!/bin/bash
+# Run a graft main class directly on the compiled classes + /opt/spark/jars,
+# bypassing sbt (no server lock, no build overhead). Compile first:
+#   sbt -batch compile
+# Usage: tools/runmain.sh graft.Bench [args...]
+set -euo pipefail
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=512m \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$@"
