@@ -65,8 +65,24 @@ object ScaleData {
 
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(rep("customer")((d, o, _) => d.withColumn("c_custkey", col("c_custkey") + lit(o))),
-      "customer")
+    // per-replica Caesar bijection: rotate each character class by k
+    def rotated(k: Int): (String, String) = {
+      val classes = Seq("abcdefghijklmnopqrstuvwxyz",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "0123456789")
+      def rot(s: String) = { val n = k % s.length; s.drop(n) + s.take(n) }
+      (classes.mkString, classes.map(rot).mkString)
+    }
+    def salted(c: org.apache.spark.sql.Column, k: Int) =
+      if (k == 0) c else { val (from, to) = rotated(k); translate(c, from, to) }
+    // c_name rotates per replica like documents.text below: a verbatim
+    // copy makes every name a 10-way cross-replica exact/near dup, which
+    // inflates fuzzy-join candidates ~N² in the synthetic corpus; the
+    // bijection keeps every within-replica edit distance EXACTLY while
+    // making replicas disjoint (measured: fuzzy_name_pairs 17× on 10×
+    // data with verbatim names).
+    write(rep("customer")((d, o, k) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(o))
+      .withColumn("c_name", salted(col("c_name"), k))), "customer")
     write(rep("supplier")((d, o, _) => d.withColumn("s_suppkey", col("s_suppkey") + lit(o))),
       "supplier")
     write(rep("part")((d, o, _) => d.withColumn("p_partkey", col("p_partkey") + lit(o))),
@@ -81,18 +97,9 @@ object ScaleData {
     write(rep("events")((d, o, _) => d
       .withColumn("event_id", col("event_id") + lit(o))
       .withColumn("user_id", col("user_id") + lit(o))), "events")
-    // per-replica Caesar bijection: rotate each character class by k
-    def rotated(k: Int): (String, String) = {
-      val classes = Seq("abcdefghijklmnopqrstuvwxyz",
-        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "0123456789")
-      def rot(s: String) = { val n = k % s.length; s.drop(n) + s.take(n) }
-      (classes.mkString, classes.map(rot).mkString)
-    }
     write(rep("documents")((d, o, k) => d
       .withColumn("doc_id", col("doc_id") + lit(o))
-      .withColumn("text",
-        if (k == 0) col("text")
-        else { val (from, to) = rotated(k); translate(col("text"), from, to) })
+      .withColumn("text", salted(col("text"), k))
       .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
     write(rep("embeddings")((d, o, _) => d.withColumn("vec_id", col("vec_id") + lit(o))),
       "embeddings")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFns._
 
@@ -747,7 +748,7 @@ object TextOps {
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |WHERE d.doc_id % 5 = 0""".stripMargin
 
-  val docLmScoreSql: String =
+  private val lmCtes: String =
     """WITH tok AS (SELECT doc_id,
       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       |  FROM documents),
@@ -763,8 +764,136 @@ object TextOps {
       |          JOIN c1 ON split_part(bi.g, ' ', 1) = c1.w1
       |          CROSS JOIN v),
       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lpq) AS slp
-      |        FROM sc GROUP BY doc_id)
-      |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |        FROM sc GROUP BY doc_id),
+      |lm AS (SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
       |  coalesce(round(agg.slp::DOUBLE / agg.n_bigrams / 1000000.0, 4), 0.0) AS lm_score
-      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+      |FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+
+  val docLmScoreSql: String =
+    lmCtes + "\nSELECT doc_id, n_bigrams, lm_score FROM lm"
+
+  /** CCNet-style head/middle/tail bucketing: per language, split the
+    * corpus into perplexity terciles of the [[docLmScore]] signal (CCNet
+    * buckets each language shard by KenLM perplexity and trains mostly on
+    * the head). `head` = the ~third of docs MOST typical of the corpus
+    * (highest lm_score), ties share a bucket.
+    *
+    * Scale shape — deliberately NOT `ntile() OVER (PARTITION BY lang)`:
+    * a per-lang doc-level window is one task per language at 100 TB. The
+    * scores land on a 1e-4 grid (lm_score is rounded), so bucketing runs
+    * on the HISTOGRAM instead: a slim (lang, score, cnt) aggregate with
+    * map-side combine, a window over the per-lang DISTINCT scores (≤ a
+    * few 100k rows per lang, not billions), integer cutoff arithmetic
+    * (3·cum_gt < n, no float thresholds to flip), and a broadcast join
+    * of the (lang, score → bucket) map back onto the scored stream.
+    */
+  def docCcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = docLmScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lm_score"))
+    val hist = scored.groupBy(col("lang"), col("lm_score"))
+      .agg(count(lit(1)).as("cnt"))
+    val nl = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val buckets = hist
+      .withColumn("cum_gt", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("lm_score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(nl, Seq("lang"))
+      .withColumn("bucket",
+        when(col("cum_gt") * 3 < col("n"), lit("head"))
+          .when(col("cum_gt") * 3 < col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("lang"), col("lm_score"), col("bucket"))
+    scored.join(broadcast(buckets), Seq("lang", "lm_score"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+  }
+
+  val docCcnetBucketsSql: String =
+    lmCtes +
+      """,
+        |scl AS (SELECT lm.doc_id, d.lang, lm.lm_score
+        |        FROM lm JOIN documents d USING (doc_id)),
+        |hist AS (SELECT lang, lm_score, count(*) AS cnt FROM scl GROUP BY 1, 2),
+        |nl AS (SELECT lang, count(*) AS n FROM scl GROUP BY 1),
+        |cum AS (SELECT lang, lm_score,
+        |    coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY lm_score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_gt
+        |  FROM hist),
+        |bk AS (SELECT cum.lang, cum.lm_score,
+        |    CASE WHEN cum_gt * 3 < nl.n THEN 'head'
+        |         WHEN cum_gt * 3 < nl.n * 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM cum JOIN nl USING (lang))
+        |SELECT scl.doc_id, scl.lang, scl.lm_score, bk.bucket
+        |FROM scl JOIN bk USING (lang, lm_score)""".stripMargin
+
+  /** DSIR-style importance weight for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * log w(x) = log p_target(x) − log p_source(x) under hashed
+    * bag-of-unigram models — the weight used to resample a raw corpus
+    * toward a trusted target distribution. Target model = the `src0`
+    * slice (the stand-in trusted source, same convention as
+    * [[docLmScoreHeldout]]'s `% 5` split); source model = the whole
+    * corpus. Features are unigrams hashed into `buckets` counts with
+    * add-1 smoothing; per-token log-ratios are quantized to integer
+    * micro-nats BEFORE the per-doc sum (the [[docLmScore]] determinism
+    * recipe — integer sums are fold-order-free).
+    *
+    * Scale shape: one tokenize pass feeds both model builds and the
+    * scoring stream (barrier'd); the two model tables are ≤ `buckets`
+    * rows NO MATTER the corpus size, so both ride a broadcast join —
+    * the 100 TB token stream never shuffles on the feature key. The
+    * only wide exchange is the per-doc integer sum, with map-side
+    * combine.
+    */
+  def docDsir(spark: SparkSession, sfDir: String, buckets: Int = 10000): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val tw = docs.select(col("doc_id"), col("source"), explode(col("t")).as("w"))
+      .withColumn("b", pmod(expr(h32Sql("w")), lit(buckets.toLong)))
+      .select(col("doc_id"), col("source"), col("b"))
+      .transform(graft.CacheScope.barrier) // model builds + scoring share one tokenize pass
+    val tgt = tw.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val srcAll = tw.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val nt = tgt.agg(sum(col("ct")).as("nt"))
+    val ns = srcAll.agg(sum(col("cs")).as("ns"))
+    val agg = tw
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(srcAll), Seq("b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(ns)) // 1-row scalar attaches
+      .withColumn("lrq",
+        round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets)))
+          - log((col("cs") + lit(1.0)) / (col("ns") + lit(buckets)))) * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lrq")).as("s"))
+      .withColumn("dsir_logw", round(col("s").cast("double") / lit(1000000.0), 4))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  val docDsirSql: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |tw AS (SELECT doc_id,  source,
+      |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 10000 AS b
+      |  FROM (SELECT doc_id, source, unnest(t) AS w FROM tok)),
+      |tgt AS (SELECT b, count(*) AS ct FROM tw WHERE source = 'src0' GROUP BY b),
+      |srcb AS (SELECT b, count(*) AS cs FROM tw GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM tw WHERE source = 'src0') AS nt,
+      |               (SELECT count(*) FROM tw) AS ns),
+      |sc2 AS (SELECT tw.doc_id,
+      |    CAST(round((ln((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + 10000))
+      |      - ln((srcb.cs + 1.0) / (tot.ns + 10000))) * 1000000.0) AS BIGINT) AS lrq
+      |  FROM tw LEFT JOIN tgt USING (b) JOIN srcb USING (b) CROSS JOIN tot),
+      |agg2 AS (SELECT doc_id, count(*) AS n_tokens, sum(lrq) AS s FROM sc2 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg2.n_tokens, 0) AS n_tokens,
+      |  coalesce(round(agg2.s::DOUBLE / 1000000.0, 4), 0.0) AS dsir_logw
+      |FROM documents d LEFT JOIN agg2 USING (doc_id)""".stripMargin
 }

@@ -129,6 +129,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "bp set must broadcast")
   }
 
+  test("doc_dsir: both hashed-bucket model tables ride broadcast joins") {
+    // the model tables are ≤ `buckets` rows regardless of corpus size, so
+    // the token stream must probe them via BroadcastHashJoin — a
+    // sort-merge join on b would shuffle the 100 TB token stream
+    val p = SparkEntry.queries("doc_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "model tables must broadcast")
+    assert(!p.contains("SortMergeJoin"), "token stream must never sort-merge")
+  }
+
+  test("doc_ccnet_buckets: the (lang, score) bucket map broadcasts back") {
+    // bucketing runs on the score HISTOGRAM (slim distinct-score rows),
+    // and the per-doc assignment probes a broadcast of that map — the
+    // scored doc stream itself never re-shuffles on (lang, score)
+    val p = SparkEntry.queries("doc_ccnet_buckets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "bucket map must broadcast")
+  }
+
   test("no query plans a cartesian product or an unintended nested-loop join") {
     // brute-force kNN broadcasts the tiny query side against an
     // inequality condition, and IVF scores every vector against the
@@ -149,7 +168,9 @@ class PlanSpec extends SparkSpec {
       "doc_lm_score_heldout", // same 1-row vocab broadcast, train/heldout split
       "doc_mixture_sample", // 1-row mixture-scale minimum crossed into the rate table
       "emb_rp_knn", // query-side broadcast vs projected scan, like emb_knn/emb_sq8_knn
-      "emb_rp_recall") // composes emb_knn + emb_rp_knn (both allowlisted)
+      "emb_rp_recall", // composes emb_knn + emb_rp_knn (both allowlisted)
+      "doc_dsir", // two 1-row model-total broadcasts (nt, ns scalar attaches)
+      "doc_ccnet_buckets") // composes doc_lm_score (1-row vocab broadcast)
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
