@@ -33,7 +33,23 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune the projections being measured.
   */
 object Bench {
+  // Documented dense-regime quadratic comparators: each exists only as
+  // the oracle-coverage twin of a banded/LSH scale tier (SCALE.md). On a
+  // scale sweep (SPARK_GRAFT_BENCH_TIER=scale) they are skipped and the
+  // artifact names them, so sweep totals measure the shipped paths —
+  // round 5's sf1 total was 2/3 quadratic-twin time.
+  private val quadraticTwins = Set(
+    "ngram_containment_pairs", "ngram_jaccard_pairs", "simhash_neardup")
+
   def main(args: Array[String]): Unit = {
+    val scaleTier = sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("scale")
+    if (args.contains("--list")) {
+      // query inventory for external runners (tools/sweep.sh) — no session
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      println((if (scaleTier) names.filterNot(quadraticTwins) else names)
+        .mkString(","))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // A cluster scales partition count with data volume; local sweeps that
@@ -98,15 +114,6 @@ object Bench {
         runs = (runs ++ timed3()).sorted.take(3)
       Stat(runs(1), runs.head, runs.last, warm, gcMs() - g0, jitMs() - j0)
     }
-
-    // Documented dense-regime quadratic comparators: each exists only as
-    // the oracle-coverage twin of a banded/LSH scale tier (SCALE.md). On a
-    // scale sweep (SPARK_GRAFT_BENCH_TIER=scale) they are skipped and the
-    // artifact names them, so sweep totals measure the shipped paths —
-    // round 5's sf1 total was 2/3 quadratic-twin time.
-    val quadraticTwins = Set(
-      "ngram_containment_pairs", "ngram_jaccard_pairs", "simhash_neardup")
-    val scaleTier = sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("scale")
 
     // optional args = query-name subset (dev loop); driver passes none
     val wanted = args.toSet
