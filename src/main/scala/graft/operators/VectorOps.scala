@@ -943,6 +943,109 @@ object VectorOps {
        |  FROM cand c JOIN qn ON c.q_id = qn.q_id JOIN full_n f ON c.n_id = f.n_id)
        |WHERE rank <= 5""".stripMargin
 
+  /** Binary-quantized (BQ) ANN with exact re-rank — the extreme end of
+    * the compression ladder (double 512 B → SQ8 64 B → PQ 8 B → BQ
+    * 8 B-as-ONE-LONG per vector): each dimension contributes one sign
+    * bit relative to the per-dimension corpus midpoint ((min+max)/2 —
+    * min/max are fold-order-free, so the centering is bit-exact in both
+    * engines, the same reason [[embSq8Knn]] quantizes against min/max
+    * rather than the mean). Candidates rank by Hamming distance —
+    * `bit_count(qb ^ nb)`, two machine instructions per comparison —
+    * and the top `cand` re-rank exactly, the standard
+    * binary-quantization recipe of the modern vector stores.
+    *
+    * 100 TB shape: the stats pass is one slim aggregate broadcast back
+    * as a 1-row frame; the candidate scan streams 8-byte codes (64×
+    * less IO than the double working form) against broadcast query
+    * bits; the exact re-rank touches |Q|·cand rows via an id equijoin.
+    * The bit packing ORs `shiftleft(1, i-1)` terms — bit 63 lands on
+    * the sign bit, which both engines treat identically under `|`,
+    * `xor`, and `bit_count` (the DuckDB twin spells Long.MinValue as
+    * `-9223372036854775807 - 1` because `1 << 63` overflows there).
+    */
+  def embBqKnn(spark: SparkSession, sfDir: String): DataFrame =
+    embBqKnn(spark, sfDir, cand = 100, topK = 5)
+
+  def embBqKnn(spark: SparkSession, sfDir: String, cand: Int, topK: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+      .transform(CacheScope.barrier) // stats pass, bit pass, queries, re-rank fetch
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy().agg(
+        expr("transform(sort_array(collect_list(struct(pos, mn))), z -> z.mn)").as("mns"),
+        expr("transform(sort_array(collect_list(struct(pos, mx))), z -> z.mx)").as("mxs"))
+    val bits = e.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        expr(s"""aggregate(sequence(1, $dims), CAST(0 AS BIGINT), (acc, i) ->
+                |  acc | IF(element_at(v, i) >
+                |             (element_at(mns, i) + element_at(mxs, i)) / 2,
+                |           shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))""".stripMargin)
+          .as("nb"))
+    val qb = bits.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("nb").as("qbits"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wH = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("n_id").asc)
+    val cands = bits.select(col("vec_id").as("n_id"), col("nb"))
+      .join(broadcast(qb), col("q_id") =!= col("n_id"))
+      .withColumn("ham", expr("bit_count(qbits ^ nb)"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= cand)
+      .select(col("q_id"), col("n_id"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    cands
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("cv")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB twin of [[embBqKnn]] (cand=100, top-5). */
+  val embBqKnnSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM s, range(1, ${dims + 1}) t(i) GROUP BY i),
+       |st AS (SELECT list((mn + mx) / 2 ORDER BY i) AS cs FROM d),
+       |bits AS (
+       |  SELECT vec_id, list_reduce(list_transform(range(1, ${dims + 1}), i ->
+       |    CASE WHEN v[i] > cs[i]
+       |         THEN CASE WHEN i = $dims THEN (-9223372036854775807 - 1)::BIGINT
+       |                   ELSE 1::BIGINT << (i - 1) END
+       |         ELSE 0::BIGINT END), (a, b) -> a | b) AS nb
+       |  FROM s, st),
+       |qb AS (SELECT vec_id AS q_id, nb AS qbits FROM bits WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT qb.q_id, b.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |        bit_count(xor(qb.qbits, b.nb)) ASC, b.vec_id ASC) AS hrank
+       |    FROM bits b, qb WHERE b.vec_id <> qb.q_id)
+       |  WHERE hrank <= 100),
+       |qn AS (
+       |  SELECT vec_id AS q_id, v AS qv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS qnrm
+       |  FROM s WHERE vec_id < 10),
+       |full_n AS (
+       |  SELECT vec_id AS n_id, v AS cv,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS cnrm
+       |  FROM s)
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT c.q_id, c.n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
+       |      / (qn.qnrm * f.cnrm) AS cos,
+       |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |      list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
+       |        / (qn.qnrm * f.cnrm) DESC, c.n_id ASC) AS rank
+       |  FROM cand c JOIN qn ON c.q_id = qn.q_id JOIN full_n f ON c.n_id = f.n_id)
+       |WHERE rank <= 5""".stripMargin
+
   /** Shared CTE chain for the trained-IVF oracle: kmeans rounds → pivots
     * → cell assignment → query probes → ranked candidates. Reused by
     * `embRecallSql`, whose exact side reuses the same `n` CTE.
