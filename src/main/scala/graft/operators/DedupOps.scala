@@ -954,6 +954,67 @@ object DedupOps {
       .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
   }
 
+  /** Content-defined-chunking (CDC) dedup: split each normalized text at
+    * content-derived boundaries — a position is a cut iff the 4-gram
+    * ending there hashes to 0 mod 64 (expected chunk ≈ 64 chars) — then
+    * group identical chunks corpus-wide. The storage/transfer dedup
+    * recipe (rsync, LBFS, backup stores) applied to corpus text: unlike
+    * fixed-width chunking ([[docLineDedup]]'s token windows), CDC
+    * boundaries survive insertions/deletions — an edit reshapes only the
+    * chunks it touches, so shared runs between document versions keep
+    * identical digests and dedup across the corpus.
+    *
+    * Out: one row per distinct chunk — digest, occurrence count,
+    * canonical (lowest) doc, chunk length.
+    *
+    * Scale shape: the boundary scan is a narrow per-row HOF (one md5 per
+    * char position — the oracle-parity hash; the optimization lever is a
+    * fused Karp-Rabin kernel, the [[winnowFingerprints]] precedent);
+    * the only exchange is the digest groupBy, shuffling slim
+    * (digest, doc_id, len) rows with map-side partials. The guard on
+    * `length < 4` matters: Spark's `sequence(4, n)` REVERSES when
+    * n < 4 rather than returning empty (DuckDB's `range` is empty), so
+    * short docs special-case to a single whole-text chunk.
+    */
+  def docCdcDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("bl", expr(
+        s"""concat(array(0),
+           |  IF(length(norm) < 4, array(),
+           |     filter(sequence(4, length(norm)),
+           |            i -> ${h32Sql("substring(norm, i - 3, 4)")} % 64 = 0)),
+           |  array(length(norm)))""".stripMargin))
+      .withColumn("chunk", explode(expr(
+        """filter(transform(sequence(1, size(bl) - 1), j ->
+          |  substring(norm, element_at(bl, j) + 1,
+          |            element_at(bl, j + 1) - element_at(bl, j))),
+          |  c -> length(c) > 0)""".stripMargin)))
+    chunks
+      .groupBy(md5(col("chunk")).as("digest"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("canonical_id"),
+        max(length(col("chunk"))).as("chunk_len"))
+  }
+
+  val docCdcDedupSql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, norm,
+      |    list_concat(list_concat([0], list_filter(range(4, length(norm) + 1),
+      |      i -> ('0x' || substr(md5(substr(norm, i - 3, 4)), 1, 8))::BIGINT % 64 = 0)),
+      |      [length(norm)]) AS bl
+      |  FROM nrm),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_filter(list_transform(range(1, len(bl)), j ->
+      |      substr(norm, bl[j] + 1, bl[j + 1] - bl[j])), c -> length(c) > 0)) AS chunk
+      |  FROM b)
+      |SELECT md5(chunk) AS digest, count(*) AS n_occurrences,
+      |  min(doc_id) AS canonical_id, max(length(chunk)) AS chunk_len
+      |FROM ch GROUP BY 1""".stripMargin
+
   /** Per-doc distinct token w-shingle hashes — the shared front end of
     * the corpus-frequency ops below. `array_distinct` BEFORE the explode
     * makes (doc_id, gh) doc-distinct with zero shuffle. The `persist()`

@@ -1004,9 +1004,11 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
 
-  /** DuckDB twin of [[embBqKnn]] (cand=100, top-5). */
-  val embBqKnnSql: String =
-    s"""WITH s AS (
+  /** Shared CTE chain for the BQ twins: midpoints → sign bits → Hamming
+    * candidates → exact-ranked candidates. Reused by `embBqRecallSql`.
+    */
+  private val embBqKnnCtes: String =
+    s"""s AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |d AS (
@@ -1035,16 +1037,53 @@ object VectorOps {
        |full_n AS (
        |  SELECT vec_id AS n_id, v AS cv,
        |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS cnrm
-       |  FROM s)
-       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  FROM s),
+       |bq_ranked AS (
        |  SELECT c.q_id, c.n_id,
        |    list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
        |      / (qn.qnrm * f.cnrm) AS cos,
        |    row_number() OVER (PARTITION BY c.q_id ORDER BY
        |      list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
        |        / (qn.qnrm * f.cnrm) DESC, c.n_id ASC) AS rank
-       |  FROM cand c JOIN qn ON c.q_id = qn.q_id JOIN full_n f ON c.n_id = f.n_id)
+       |  FROM cand c JOIN qn ON c.q_id = qn.q_id JOIN full_n f ON c.n_id = f.n_id)""".stripMargin
+
+  /** DuckDB twin of [[embBqKnn]] (cand=100, top-5). */
+  val embBqKnnSql: String =
+    s"""WITH $embBqKnnCtes
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM bq_ranked
        |WHERE rank <= 5""".stripMargin
+
+  /** Recall@5 of the binary-quantized ANN against brute force — the
+    * audit row for the 1-bit tier, like [[embRecall]] for IVF and
+    * [[embRpRecall]] for the JL projection. A miss means the true
+    * neighbor's Hamming distance put it outside the `cand` candidates
+    * (sign-bit distortion); widening `cand` raises it.
+    */
+  def embBqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = embKnn(spark, sfDir).select(col("q_id"), col("n_id"))
+    val bq = embBqKnn(spark, sfDir)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(bq, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / 5.0, 4).as("recall_at_5"))
+  }
+
+  val embBqRecallSql: String =
+    s"""WITH $embBqKnnCtes,
+       |bq AS (SELECT q_id, n_id FROM bq_ranked WHERE rank <= 5),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT qn.q_id, f.n_id,
+       |      row_number() OVER (PARTITION BY qn.q_id ORDER BY
+       |        list_sum(list_transform(range(1, ${dims + 1}), i -> qn.qv[i] * f.cv[i]))
+       |          / (qn.qnrm * f.cnrm) DESC, f.n_id ASC) AS rank
+       |    FROM qn JOIN full_n f ON qn.q_id <> f.n_id)
+       |  WHERE rank <= 5)
+       |SELECT e.q_id,
+       |  round(sum(CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+       |    AS recall_at_5
+       |FROM exact e LEFT JOIN bq b ON e.q_id = b.q_id AND e.n_id = b.n_id
+       |GROUP BY e.q_id""".stripMargin
 
   /** Shared CTE chain for the trained-IVF oracle: kmeans rounds → pivots
     * → cell assignment → query probes → ranked candidates. Reused by

@@ -171,6 +171,7 @@ class PlanSpec extends SparkSpec {
       "emb_rp_recall", // composes emb_knn + emb_rp_knn (both allowlisted)
       "doc_dsir", // two 1-row model-total broadcasts (nt, ns scalar attaches)
       "emb_bq_knn", // 1-row dim-stats broadcast + query-bits broadcast, like emb_sq8_knn
+      "emb_bq_recall", // composes emb_knn + emb_bq_knn (both allowlisted)
       "doc_ccnet_buckets") // composes doc_lm_score (1-row vocab broadcast)
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
