@@ -259,4 +259,43 @@ class AccuracySpec extends SparkSpec {
       s"probe of the exact bucket must be included: ${single.diff(multi).take(5)}")
     info(s"LSH pairs: single-probe ${single.size}, multi-probe ${multi.size}")
   }
+
+  test("BQ ANN: recall bounded below; cand >= corpus == exact brute force") {
+    import graft.operators.VectorOps
+    val sf01 = "/root/testdata/sf0.01" // 500 vectors, same regime as the JL test
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exactPairs = pairs(VectorOps.embKnn(spark, sf01))
+    val bq = pairs(VectorOps.embBqKnn(spark, sf01))
+      .intersect(exactPairs).size.toDouble / exactPairs.size
+    info(f"BQ recall@5 (cand=100): $bq%.3f")
+    assert(bq >= 0.5, s"BQ recall too low (sign/midpoint regression?): $bq")
+    // keeping every Hamming candidate makes the quantization irrelevant:
+    // the exact re-rank sees the whole corpus = brute force, exactly
+    assert(pairs(VectorOps.embBqKnn(spark, sf01, cand = 1000, topK = 5)) ==
+      exactPairs)
+  }
+
+  test("ccnet buckets: per-lang tercile sizes balanced up to score ties") {
+    import graft.operators.TextOps
+    val rows = TextOps.docCcnetBuckets(spark, "/root/testdata/sf0.01")
+      .groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = rows.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val n = rows.collect { case ((`l`, _), c) => c }.sum
+      val head = rows.getOrElse((l, "head"), 0L)
+      // value-based cutoffs put ties in one bucket, so sizes are terciles
+      // only up to tie mass; a 3x band catches structural breakage
+      // (everything in one bucket) without flaking on tie-heavy corpora
+      assert(head > 0 && head <= 2L * n / 3 + 1,
+        s"$l head bucket degenerate: $head of $n")
+      val buckets = rows.keys.collect { case (`l`, b) => b }.toSet
+      assert(buckets == Set("head", "middle", "tail"),
+        s"$l missing buckets: $buckets")
+    }
+    info(s"ccnet buckets over ${langs.size} langs: " +
+      rows.toSeq.sortBy(_._1).map { case ((l, b), c) => s"$l/$b=$c" }.mkString(", "))
+  }
 }
