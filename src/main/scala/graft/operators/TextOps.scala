@@ -877,11 +877,11 @@ object TextOps {
         coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
   }
 
-  val docDsirSql: String =
+  private val dsirCtes: String =
     """WITH tok AS (SELECT doc_id, source,
       |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       |  FROM documents),
-      |tw AS (SELECT doc_id,  source,
+      |tw AS (SELECT doc_id, source,
       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 10000 AS b
       |  FROM (SELECT doc_id, source, unnest(t) AS w FROM tok)),
       |tgt AS (SELECT b, count(*) AS ct FROM tw WHERE source = 'src0' GROUP BY b),
@@ -892,8 +892,45 @@ object TextOps {
       |    CAST(round((ln((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + 10000))
       |      - ln((srcb.cs + 1.0) / (tot.ns + 10000))) * 1000000.0) AS BIGINT) AS lrq
       |  FROM tw LEFT JOIN tgt USING (b) JOIN srcb USING (b) CROSS JOIN tot),
-      |agg2 AS (SELECT doc_id, count(*) AS n_tokens, sum(lrq) AS s FROM sc2 GROUP BY doc_id)
-      |SELECT d.doc_id, coalesce(agg2.n_tokens, 0) AS n_tokens,
+      |agg2 AS (SELECT doc_id, count(*) AS n_tokens, sum(lrq) AS s FROM sc2 GROUP BY doc_id),
+      |dsir AS (SELECT d.doc_id, coalesce(agg2.n_tokens, 0) AS n_tokens,
       |  coalesce(round(agg2.s::DOUBLE / 1000000.0, 4), 0.0) AS dsir_logw
-      |FROM documents d LEFT JOIN agg2 USING (doc_id)""".stripMargin
+      |FROM documents d LEFT JOIN agg2 USING (doc_id))""".stripMargin
+
+  val docDsirSql: String =
+    dsirCtes + "\nSELECT doc_id, n_tokens, dsir_logw FROM dsir"
+
+  /** DSIR resampling — the second half of the recipe: draw `k` documents
+    * WITHOUT replacement with probability ∝ exp([[docDsir]] log-weight)
+    * via the Gumbel-top-k identity (top-k of logw + Gumbel noise is an
+    * exact weighted sample). The "noise" is deterministic — the same
+    * md5-derived uniform both engines compute (`u = (h32('g|'||doc_id)
+    * + 0.5)/2³²`, Gumbel `g = −ln(−ln u)`) — so the selection is
+    * reproducible run-to-run and engine-to-engine, the property every
+    * corpus-selection job needs for auditability. The key is rounded to
+    * 1e-6 with a doc_id tiebreak before the cut (float-order
+    * discipline, the [[docLmScore]] precedent).
+    *
+    * Scale shape: one narrow projection over the weight table, then
+    * top-k — TakeOrderedAndProject, per-partition heaps, NO global
+    * sort (the q3_topk pattern).
+    */
+  def docDsirSample(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    docDsir(spark, sfDir)
+      .withColumn("u",
+        (expr(h32Sql("concat('g|', doc_id)")) + lit(0.5)) / lit(4294967296.0))
+      .withColumn("gkey", round(col("dsir_logw") - log(-log(col("u"))), 6))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dsir_logw"), col("gkey"))
+
+  val docDsirSampleSql: String =
+    dsirCtes +
+      """
+        |SELECT doc_id, dsir_logw,
+        |  round(dsir_logw - ln(-ln((('0x' || substr(md5('g|' || doc_id), 1, 8))::BIGINT
+        |    + 0.5) / 4294967296.0)), 6) AS gkey
+        |FROM dsir
+        |ORDER BY gkey DESC, doc_id
+        |LIMIT 100""".stripMargin
 }

@@ -139,6 +139,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "token stream must never sort-merge")
   }
 
+  test("doc_dsir_sample: Gumbel-top-k cut plans TakeOrderedAndProject") {
+    // the selection is a per-partition-heap top-k over the weight table,
+    // never a global sort of the corpus
+    val p = SparkEntry.queries("doc_dsir_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${p.take(1500)}")
+  }
+
   test("doc_ccnet_buckets: the (lang, score) bucket map broadcasts back") {
     // bucketing runs on the score HISTOGRAM (slim distinct-score rows),
     // and the per-doc assignment probes a broadcast of that map — the
@@ -170,6 +178,7 @@ class PlanSpec extends SparkSpec {
       "emb_rp_knn", // query-side broadcast vs projected scan, like emb_knn/emb_sq8_knn
       "emb_rp_recall", // composes emb_knn + emb_rp_knn (both allowlisted)
       "doc_dsir", // two 1-row model-total broadcasts (nt, ns scalar attaches)
+      "doc_dsir_sample", // composes doc_dsir (same 1-row broadcasts)
       "emb_bq_knn", // 1-row dim-stats broadcast + query-bits broadcast, like emb_sq8_knn
       "emb_bq_recall", // composes emb_knn + emb_bq_knn (both allowlisted)
       "doc_ccnet_buckets") // composes doc_lm_score (1-row vocab broadcast)
