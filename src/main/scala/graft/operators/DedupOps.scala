@@ -976,8 +976,12 @@ object DedupOps {
     * n < 4 rather than returning empty (DuckDB's `range` is empty), so
     * short docs special-case to a single whole-text chunk.
     */
-  def docCdcDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val chunks = Tables.documents(spark, sfDir)
+  /** (doc_id, chunk) rows of the CDC split — shared by the batch query
+    * and the streaming twin ([[graft.streaming.CdcDedupStream]]).
+    * Streaming-safe: narrow per-row HOFs, no persist, no shuffle.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("bl", expr(
         s"""concat(array(0),
@@ -990,12 +994,14 @@ object DedupOps {
           |  substring(norm, element_at(bl, j) + 1,
           |            element_at(bl, j + 1) - element_at(bl, j))),
           |  c -> length(c) > 0)""".stripMargin)))
-    chunks
+      .select(col("doc_id"), col("chunk"))
+
+  def docCdcDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunks(Tables.documents(spark, sfDir))
       .groupBy(md5(col("chunk")).as("digest"))
       .agg(count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("canonical_id"),
         max(length(col("chunk"))).as("chunk_len"))
-  }
 
   val docCdcDedupSql: String =
     """WITH nrm AS (
