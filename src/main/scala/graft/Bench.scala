@@ -145,6 +145,7 @@ object Bench {
       name -> s
     }
     def f(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    def f3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, s) => "\"" + k + "\":" + f(s.med) }
       .mkString("{", ",", "}")
     val vari = results.map { case (k, s) =>
@@ -154,13 +155,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.med).filter(_ >= 0).sum
     val skippedJson = skipped.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    // stdout gets ONLY the compact record (~5 KB for 130+ queries): rounds
-    // 4 AND 5 proved the driver's stdout capture head-truncates the tail,
-    // and the verbose variance map was what pushed the line past the
-    // budget — so the artifact of record now always fits, and the full
-    // diagnostics (variance, GC/JIT deltas) live in BENCH_local.json,
-    // committed alongside.
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","skipped":$skippedJson,"queries":$qs}"""
+    // stdout gets ONLY a compact record that must survive the driver's
+    // stdout tail budget: rounds 4–6 all proved the full per-query map
+    // does NOT (r6: 79 of 138 medians survived head-truncation, parsed:
+    // null). The record is now totals + per-family rollups + the worst-20
+    // medians (~1.3 KB); the complete per-query map and the GC/JIT
+    // variance diagnostics live in BENCH_local.json, committed alongside.
+    def family(n: String): String =
+      if (n.matches("q\\d+.*")) "rel" else n.takeWhile(_ != '_')
+    val fams = results.filter(_._2.med >= 0)
+      .groupBy(r => family(r._1)).toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        "\"" + fam + "\":" + f3(rs.map(_._2.med).sum) }
+      .mkString("{", ",", "}")
+    val worst = results.filter(_._2.med >= 0).sortBy(-_._2.med).take(20)
+      .map { case (k, s) => "\"" + k + "\":" + f3(s.med) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"skipped":$skippedJson,"families":$fams,"queries":$worst,"queries_note":"worst-20 of ${results.size} by median; full map in BENCH_local.json"}"""
     val verbose = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","skipped":$skippedJson,"variance":$vari,"queries":$qs}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),

@@ -38,6 +38,12 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
+    // the per-replica Caesar rotation is the identity on digits at
+    // k % 10 == 0, so replica 10 would re-share char-n-grams with replica
+    // 0 and quietly reintroduce the quadratic-candidate artifact the
+    // rotation eliminates; >10× scale needs a rotation scheme that is
+    // non-identity (and pairwise distinct) for every k first
+    require(n <= 10, s"replica rotation is only replica-disjoint for n <= 10 (got $n)")
     val off = 10000000L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -92,14 +92,19 @@ object DedupOps {
     withSignature(Tables.documents(spark, sfDir))
       .select(col("doc_id") +: (0 until 8).map(i => col(s"m$i")): _*)
 
-  private val shCte =
-    """WITH sh AS (
+  /** The shingle/signature CTE chain over an arbitrary docs relation —
+    * parameterized so the recall audit can run it over its SAMPLED `smp`
+    * CTE with the exact same text (oracle parity with the Spark side's
+    * `dedupLshRecall(docs)` call over the sampled frame).
+    */
+  private def shCteOn(tbl: String): String =
+    s"""WITH sh AS (
       |  SELECT doc_id,
       |    list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS sh
       |  FROM (SELECT doc_id,
       |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
-      |        FROM documents)),
+      |        FROM $tbl)),
       |hs AS (
       |  SELECT doc_id, sh,
       |    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
@@ -110,6 +115,8 @@ object DedupOps {
       (0 until 8).map(i => s"    ${minhashDuck("hs", i)} AS m$i")
         .mkString(",\n") +
       "\n  FROM hs)\n"
+
+  private val shCte = shCteOn("documents")
 
   val minhashSigSql: String =
     shCte + "SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig"
@@ -160,8 +167,8 @@ object DedupOps {
           .as("jacc"))
   }
 
-  val minhashLshPairsSql: String =
-    shCte +
+  private def minhashLshPairsSqlOn(tbl: String): String =
+    shCteOn(tbl) +
       """, bands AS (
         |  SELECT doc_id, b.band,
         |    ('0x' || substr(md5(b.band || '|' ||
@@ -178,6 +185,8 @@ object DedupOps {
         |    (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))), 4) AS jacc
         |FROM cand JOIN shs x ON cand.a_id = x.doc_id
         |          JOIN shs y ON cand.b_id = y.doc_id""".stripMargin
+
+  val minhashLshPairsSql: String = minhashLshPairsSqlOn("documents")
 
   /** Recall of the MinHash-LSH near-dup detector against exact ground
     * truth at Jaccard ≥ 0.5 — the measurement every sketch-based dedup
@@ -260,14 +269,29 @@ object DedupOps {
         expr("IF(n_true = 0, 1.0, round(n_hit / n_true, 4))").as("recall"))
   }
 
+  /** Oracle twin of [[dedupLshRecall]] INCLUDING the sampling cap: the
+    * `smp` CTE mirrors the Spark side's deterministic hash-Bernoulli
+    * filter exactly (same md5-h32 of 'smp|'||doc_id, same modulus, same
+    * half-up-rounded threshold, same engage-only-above-10k-docs guard), so
+    * a corpus over the cap still hash-matches instead of silently
+    * diverging on truth computed from different doc sets. `floor(x+0.5)`
+    * mirrors Java's half-up `Math.round` (DuckDB round() half-away agrees
+    * for positives, but spelled explicitly — tools/compare.py precedent).
+    */
   val dedupLshRecallSql: String =
-    s"""WITH lsh AS ($minhashLshPairsSql),
+    s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+       |smp AS (
+       |  SELECT d.* FROM documents d, nd
+       |  WHERE nd.n <= 10000
+       |     OR ('0x' || substr(md5('smp|' || d.doc_id), 1, 8))::BIGINT % 1000000
+       |        < floor(10000.0 / nd.n * 1000000 + 0.5)),
+       |lsh AS (${minhashLshPairsSqlOn("smp")}),
        |shs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shset
        |  FROM (SELECT doc_id,
        |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
-       |        FROM documents)),
+       |        FROM smp)),
        |truth AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id

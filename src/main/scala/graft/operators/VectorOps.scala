@@ -967,6 +967,9 @@ object VectorOps {
     embBqKnn(spark, sfDir, cand = 100, topK = 5)
 
   def embBqKnn(spark: SparkSession, sfDir: String, cand: Int, topK: Int): DataFrame = {
+    // one LONG holds exactly 64 sign bits; >64 dims needs an array<bigint>
+    // packing (and the DuckDB twin's sign-bit branch assumes bit 63 = i 64)
+    require(dims <= 64, s"BQ packs sign bits into one BIGINT; dims=$dims > 64")
     CosineSimilarity.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"))
@@ -1018,7 +1021,7 @@ object VectorOps {
        |bits AS (
        |  SELECT vec_id, list_reduce(list_transform(range(1, ${dims + 1}), i ->
        |    CASE WHEN v[i] > cs[i]
-       |         THEN CASE WHEN i = $dims THEN (-9223372036854775807 - 1)::BIGINT
+       |         THEN CASE WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
        |                   ELSE 1::BIGINT << (i - 1) END
        |         ELSE 0::BIGINT END), (a, b) -> a | b) AS nb
        |  FROM s, st),
