@@ -991,27 +991,45 @@ object DedupOps {
     * Out: one row per distinct chunk — digest, occurrence count,
     * canonical (lowest) doc, chunk length.
     *
-    * Scale shape: the boundary scan is a narrow per-row HOF (one md5 per
-    * char position — the oracle-parity hash; the optimization lever is a
-    * fused Karp-Rabin kernel, the [[winnowFingerprints]] precedent);
-    * the only exchange is the digest groupBy, shuffling slim
-    * (digest, doc_id, len) rows with map-side partials. The guard on
-    * `length < 4` matters: Spark's `sequence(4, n)` REVERSES when
-    * n < 4 rather than returning empty (DuckDB's `range` is empty), so
-    * short docs special-case to a single whole-text chunk.
+    * Scale shape: the boundary scan is ONE fused rolling-hash kernel
+    * call per row ([[graft.functions.CdcChunks]] — the round-6 shape ran
+    * an interpreted HOF lambda computing one md5 digest per char
+    * position, the whole query's measured hot spot); the only exchange
+    * is the digest groupBy, shuffling slim (digest, doc_id, len) rows
+    * with map-side partials.
     */
   /** (doc_id, chunk) rows of the CDC split — shared by the batch query
     * and the streaming twin ([[graft.streaming.CdcDedupStream]]).
-    * Streaming-safe: narrow per-row HOFs, no persist, no shuffle.
+    * Streaming-safe: narrow per-row kernel, no persist, no shuffle.
     */
-  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.functions.CdcChunkKernel.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("chunk", explode(expr("cdc_chunks(norm)")))
+      .select(col("doc_id"), col("chunk"))
+  }
+
+  /** The HOF reference formulation of the kernel's boundary rule — the
+    * slow-but-obviously-SQL-parity twin ([[CdcKernelSpec]] asserts the
+    * kernel's chunks are identical on the real corpus; the DuckDB oracle
+    * below is this same formulation in DuckDB dialect). The guard on
+    * `length < 4` matters: Spark's `sequence(4, n)` REVERSES when n < 4
+    * rather than returning empty (DuckDB's `range` is empty), so short
+    * docs special-case to a single whole-text chunk.
+    */
+  private[graft] def cdcChunksRef(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("bl", expr(
         s"""concat(array(0),
            |  IF(length(norm) < 4, array(),
            |     filter(sequence(4, length(norm)),
-           |            i -> ${h32Sql("substring(norm, i - 3, 4)")} % 64 = 0)),
+           |            i -> ((ascii(substring(norm, i - 3, 1)) * 16974593L
+           |                 + ascii(substring(norm, i - 2, 1)) * 66049L
+           |                 + ascii(substring(norm, i - 1, 1)) * 257L
+           |                 + ascii(substring(norm, i, 1))) * 2654435761L)
+           |                 % 4294967296L < 67108864L)),
            |  array(length(norm)))""".stripMargin))
       .withColumn("chunk", explode(expr(
         """filter(transform(sequence(1, size(bl) - 1), j ->
@@ -1027,6 +1045,10 @@ object DedupOps {
         min(col("doc_id")).as("canonical_id"),
         max(length(col("chunk"))).as("chunk_len"))
 
+  /** DuckDB twin: per-position Karp-Rabin boundary test (identical hash
+    * family and threshold as the kernel — see [[graft.functions.CdcChunks]]
+    * for the no-overflow and low-bits-degeneracy arguments).
+    */
   val docCdcDedupSql: String =
     """WITH nrm AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
@@ -1034,7 +1056,10 @@ object DedupOps {
       |b AS (
       |  SELECT doc_id, norm,
       |    list_concat(list_concat([0], list_filter(range(4, length(norm) + 1),
-      |      i -> ('0x' || substr(md5(substr(norm, i - 3, 4)), 1, 8))::BIGINT % 64 = 0)),
+      |      i -> ((ascii(substr(norm, i - 3, 1)) * 16974593::BIGINT
+      |           + ascii(substr(norm, i - 2, 1)) * 66049::BIGINT
+      |           + ascii(substr(norm, i - 1, 1)) * 257::BIGINT
+      |           + ascii(substr(norm, i, 1))) * 2654435761) % 4294967296 < 67108864)),
       |      [length(norm)]) AS bl
       |  FROM nrm),
       |ch AS (

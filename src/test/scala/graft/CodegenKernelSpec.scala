@@ -58,6 +58,10 @@ class CodegenKernelSpec extends AnyFunSuite {
     check("jl_project", JlProject(dArr(0.5, -1.25, 2.0, 3.5, -0.75, 1.0), 4))
     check("simhash32", SimHash32(lArr(0x0f0f0f0fL, 0x12345678L, 0x0badf00dL)))
     check("winnow_fp", WinnowFingerprint(Literal("the quick brown fox jumps over the lazy dog")))
+    check("cdc_chunks", CdcChunks(Literal(
+      "the quick brown fox jumps over the lazy dog and keeps on running past the fence")))
+    check("cdc_chunks_short", CdcChunks(Literal("ab")))
+    check("cdc_chunks_empty", CdcChunks(Literal("")))
     check("edit_within1_eq", EditWithin1(Literal("kitten"), Literal("kitten")))
     check("edit_within1_sub", EditWithin1(Literal("kitten"), Literal("mitten")))
     check("edit_within1_far", EditWithin1(Literal("kitten"), Literal("sitting")))
@@ -73,6 +77,7 @@ class CodegenKernelSpec extends AnyFunSuite {
     val nullStr = Literal.create(null, StringType)
     val nullArr = Literal.create(null, ArrayType(DoubleType, containsNull = false))
     check("char_entropy_q_null", CharEntropyQ(nullStr))
+    check("cdc_chunks_null", CdcChunks(nullStr))
     check("jl_project_null", JlProject(nullArr, 4))
     check("z_value_null", ZValue(Seq(Literal(1L), Literal.create(null, LongType))))
   }

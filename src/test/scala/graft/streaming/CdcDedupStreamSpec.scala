@@ -11,15 +11,22 @@ import graft.SparkSpec
   */
 class CdcDedupStreamSpec extends SparkSpec {
 
-  // doc 3 is doc 1 with one word edited mid-text: CDC boundaries are
-  // content-derived, so the chunks away from the edit keep their
-  // digests and dedup against doc 1's
+  // doc 3 is doc 1 with one word edited early: CDC boundaries are
+  // content-derived, so the chunks after the boundary following the edit
+  // keep their digests and dedup against doc 1's. Text is long enough
+  // (~290 normalized chars) that the 1-in-64 Karp-Rabin boundary rule
+  // deterministically yields 3 chunks (129/18/139 chars), with the edit
+  // confined to the first.
+  private val base =
+    "the quick brown fox %s over the lazy dog and then runs far away " +
+      "into the deep dark forest before nightfall while seven wizards " +
+      "quietly brew magic potions beside the ancient granite bridge as " +
+      "autumn leaves drift slowly across the silver river valley under " +
+      "a pale crescent moon tonight"
   private val docs = Seq(
-    1L -> ("the quick brown fox jumps over the lazy dog and then " +
-      "runs far away into the deep dark forest before nightfall"),
+    1L -> base.format("jumps"),
     2L -> "completely unrelated text with its own chunk structure here",
-    3L -> ("the quick brown fox LEAPS over the lazy dog and then " +
-      "runs far away into the deep dark forest before nightfall"))
+    3L -> base.format("LEAPS"))
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r =>
