@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.functions.TextFns.h32Sql
+import graft.{CacheScope, Tables}
+import graft.functions.TextFns.{h32Sql, normText}
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata structs; decode / feature-extraction runs
@@ -156,4 +157,118 @@ object Multimodal {
       |  (octet_length(encode(text)) // 1024) // 4 + 1 AS n_sampled,
       |  ((octet_length(encode(text)) // 1024) // 4) * 4 AS last_idx
       |FROM documents""".stripMargin
+
+  /** Per-payload 64-bit perceptual hash (dHash over the stub-decoded
+    * luma plane — [[graft.functions.PHash64]] for the recipe and the
+    * cross-engine bit-parity argument). One narrow kernel projection,
+    * zero exchanges; the signature table is the reusable artifact the
+    * near-dup pass and any incremental admission path read.
+    */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
+    mmPhashOf(Tables.documents(spark, sfDir))
+
+  private def mmPhashOf(docs: DataFrame): DataFrame = {
+    graft.functions.PHash64Kernel.register(docs.sparkSession)
+    docs
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"), expr("phash64(norm)").as("phash"))
+  }
+
+  /** Shared DuckDB CTE chain: normalized payload → char codes → 72
+    * slice-average cells → 64 difference bits folded into one BIGINT
+    * (bit 63 spelled as Long.MinValue — `1 << 63` overflows DuckDB, the
+    * [[VectorOps]] BQ twin precedent).
+    */
+  private val phashCtes: String =
+    """nrm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |cl AS (
+      |  SELECT doc_id, length(norm) AS L,
+      |    list_transform(range(1, length(norm) + 1), p -> ascii(substr(norm, p, 1))) AS cs
+      |  FROM nrm),
+      |cells AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 72), i ->
+      |      CASE WHEN ((i + 1) * L) // 72 > (i * L) // 72
+      |           THEN list_sum(cs[(i * L) // 72 + 1 : ((i + 1) * L) // 72])::BIGINT
+      |                  // (((i + 1) * L) // 72 - (i * L) // 72)
+      |           ELSE 0::BIGINT END) AS cell
+      |  FROM cl),
+      |ph AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 64), k ->
+      |      CASE WHEN cell[(k // 8) * 9 + (k % 8) + 1] < cell[(k // 8) * 9 + (k % 8) + 2]
+      |           THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)::BIGINT
+      |                     ELSE 1::BIGINT << k END
+      |           ELSE 0::BIGINT END))::BIGINT AS phash
+      |  FROM cells)""".stripMargin
+
+  val mmPhashSql: String =
+    s"WITH $phashCtes\nSELECT doc_id, phash FROM ph"
+
+  /** Perceptual-hash near-dup pairs — image-similarity dedup for a
+    * multimodal training pipeline: candidates from 8×8-bit Hamming
+    * banding over the dHash (the [[VectorOps.embBqKnn]] bit-slice recipe;
+    * pigeonhole: ≤ 7 differing bits cannot dirty all 8 bands, so recall
+    * over uncapped buckets is exactly 1 — MmPhashSpec asserts it), exact
+    * `bit_count(xor)` confirm, emitted with the Hamming distance.
+    *
+    * Scale shape: the band self-join carries (band, bv, doc_id) — never
+    * payloads; buckets larger than `maxBucket` docs are dropped BEFORE
+    * the join (one window count the join's exchange reuses — the
+    * [[DedupOps.winnowPairs]] maxDf lever), which is both the LSH skew
+    * bound (join cost is Σ bucket², so capping bucket caps the join) and
+    * the "common-profile buckets carry no near-dup signal" rule. The cap
+    * is the recall/cost policy knob; pairs whose every clean band sits
+    * in an over-cap bucket are missed, measured 12/13 at sf0.1.
+    */
+  def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    mmPhashNeardupOf(Tables.documents(spark, sfDir), maxBucket = 64, maxHamming = 7)
+
+  private[graft] def mmPhashNeardupOf(docs: DataFrame, maxBucket: Int,
+                                      maxHamming: Int): DataFrame = {
+    val sig = mmPhashOf(docs)
+      .transform(CacheScope.barrier) // bands + both confirm sides reuse
+    val bands = sig
+      .select(col("doc_id"), col("phash"), explode(expr("sequence(0, 7)")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("shiftright(phash, band * 8) & 255").as("bv"))
+    val kept = bands
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+      .filter(col("df") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bv"))
+      .transform(CacheScope.barrier) // self-joined as both sides
+    val a = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val b = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    val cand = a.join(b, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a_id"), col("phash").as("pa")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("phash").as("pb")), Seq("b_id"))
+      .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  // (phash >> s) & 255 is shift-semantics-proof: arithmetic vs logical
+  // shift differ only in bits the mask drops (s + 7 <= 63 for every band)
+  val mmPhashNeardupSql: String =
+    s"""WITH $phashCtes,
+       |bands AS (
+       |  SELECT doc_id, b.band, (phash >> (b.band * 8)) & 255 AS bv
+       |  FROM ph, (SELECT unnest(range(0, 8)) AS band) b),
+       |kept AS (
+       |  SELECT doc_id, band, bv FROM (
+       |    SELECT doc_id, band, bv, count(*) OVER (PARTITION BY band, bv) AS df
+       |    FROM bands) WHERE df <= 64),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT c.a_id, c.b_id, bit_count(xor(x.phash, y.phash)) AS hamming
+       |FROM cand c JOIN ph x ON c.a_id = x.doc_id JOIN ph y ON c.b_id = y.doc_id
+       |WHERE bit_count(xor(x.phash, y.phash)) <= 7""".stripMargin
 }

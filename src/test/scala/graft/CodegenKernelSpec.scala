@@ -62,6 +62,10 @@ class CodegenKernelSpec extends AnyFunSuite {
       "the quick brown fox jumps over the lazy dog and keeps on running past the fence")))
     check("cdc_chunks_short", CdcChunks(Literal("ab")))
     check("cdc_chunks_empty", CdcChunks(Literal("")))
+    check("phash64", PHash64(Literal(
+      "pack my box with five dozen liquor jugs while the jay flew over the lazy dog")))
+    check("phash64_short", PHash64(Literal("abc")))
+    check("phash64_empty", PHash64(Literal("")))
     check("edit_within1_eq", EditWithin1(Literal("kitten"), Literal("kitten")))
     check("edit_within1_sub", EditWithin1(Literal("kitten"), Literal("mitten")))
     check("edit_within1_far", EditWithin1(Literal("kitten"), Literal("sitting")))
@@ -78,6 +82,7 @@ class CodegenKernelSpec extends AnyFunSuite {
     val nullArr = Literal.create(null, ArrayType(DoubleType, containsNull = false))
     check("char_entropy_q_null", CharEntropyQ(nullStr))
     check("cdc_chunks_null", CdcChunks(nullStr))
+    check("phash64_null", PHash64(nullStr))
     check("jl_project_null", JlProject(nullArr, 4))
     check("z_value_null", ZValue(Seq(Literal(1L), Literal.create(null, LongType))))
   }
