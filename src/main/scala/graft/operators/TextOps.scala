@@ -666,8 +666,12 @@ object TextOps {
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("slp"))
-      .withColumn("lm_score",
-        round(col("slp").cast("double") / col("n_bigrams") / lit(1000000.0), 4))
+      // same exact-integer display rounding as docDsir: round(slp/(nb·1e6), 4)
+      // == half-away(slp/(nb·100)) / 1e4, computed tie-free in integers
+      .withColumn("q", expr(
+        """IF(slp >= 0, (slp + n_bigrams * 50) div (n_bigrams * 100),
+          |   -((-slp + n_bigrams * 50) div (n_bigrams * 100)))""".stripMargin))
+      .withColumn("lm_score", col("q").cast("double") / lit(10000.0))
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -713,8 +717,11 @@ object TextOps {
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("slp"))
-      .withColumn("lm_score",
-        round(col("slp").cast("double") / col("n_bigrams") / lit(1000000.0), 4))
+      // tie-free integer display rounding (see docLmScore)
+      .withColumn("q", expr(
+        """IF(slp >= 0, (slp + n_bigrams * 50) div (n_bigrams * 100),
+          |   -((-slp + n_bigrams * 50) div (n_bigrams * 100)))""".stripMargin))
+      .withColumn("lm_score", col("q").cast("double") / lit(10000.0))
       .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
     docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
@@ -744,7 +751,10 @@ object TextOps {
       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lpq) AS slp
       |        FROM sc GROUP BY doc_id)
       |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
-      |  coalesce(round(agg.slp::DOUBLE / agg.n_bigrams / 1000000.0, 4), 0.0) AS lm_score
+      |  coalesce((CASE WHEN agg.slp >= 0
+      |                 THEN (agg.slp + agg.n_bigrams * 50) // (agg.n_bigrams * 100)
+      |                 ELSE -((-agg.slp + agg.n_bigrams * 50) // (agg.n_bigrams * 100))
+      |            END) / 10000.0, 0.0) AS lm_score
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |WHERE d.doc_id % 5 = 0""".stripMargin
 
@@ -766,7 +776,10 @@ object TextOps {
       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lpq) AS slp
       |        FROM sc GROUP BY doc_id),
       |lm AS (SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
-      |  coalesce(round(agg.slp::DOUBLE / agg.n_bigrams / 1000000.0, 4), 0.0) AS lm_score
+      |  coalesce((CASE WHEN agg.slp >= 0
+      |                 THEN (agg.slp + agg.n_bigrams * 50) // (agg.n_bigrams * 100)
+      |                 ELSE -((-agg.slp + agg.n_bigrams * 50) // (agg.n_bigrams * 100))
+      |            END) / 10000.0, 0.0) AS lm_score
       |FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val docLmScoreSql: String =
@@ -869,7 +882,15 @@ object TextOps {
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lrq")).as("s"))
-      .withColumn("dsir_logw", round(col("s").cast("double") / lit(1000000.0), 4))
+      // display rounding in EXACT integer space: round(s/1e6, 4) on a
+      // double ties whenever s % 100 == 50, and each engine then rounds
+      // its own nearest-double of the tie — caught diverging at the
+      // sf0.1 gate (one doc, ±0.0001). Half-away-from-zero on the
+      // integer micro-nats is engine-independent; the final /1e4 maps
+      // the same integer to the same double on both sides.
+      .withColumn("sr",
+        expr("IF(s >= 0, (s + 50) div 100, -((-s + 50) div 100))"))
+      .withColumn("dsir_logw", col("sr").cast("double") / lit(10000.0))
       .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -894,7 +915,8 @@ object TextOps {
       |  FROM tw LEFT JOIN tgt USING (b) JOIN srcb USING (b) CROSS JOIN tot),
       |agg2 AS (SELECT doc_id, count(*) AS n_tokens, sum(lrq) AS s FROM sc2 GROUP BY doc_id),
       |dsir AS (SELECT d.doc_id, coalesce(agg2.n_tokens, 0) AS n_tokens,
-      |  coalesce(round(agg2.s::DOUBLE / 1000000.0, 4), 0.0) AS dsir_logw
+      |  coalesce((CASE WHEN agg2.s >= 0 THEN (agg2.s + 50) // 100
+      |                 ELSE -((-agg2.s + 50) // 100) END) / 10000.0, 0.0) AS dsir_logw
       |FROM documents d LEFT JOIN agg2 USING (doc_id))""".stripMargin
 
   val docDsirSql: String =

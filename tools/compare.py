@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [outJson]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the same
 parquet tables, sorts columns by name and rows by value, and compares.
+With [outJson], also writes a driver-shaped per-query record
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}) —
+used for the committed above-sf0.01 gate artifacts (CORRECTNESS_sf01_r*).
 Driver-side python only (duckdb/pyarrow/pandas) — never imported by the
 Scala library.
 """
@@ -64,6 +67,15 @@ def canon(rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
+
+    def rec(name, rows=None, schema=None, hsh=None, s_rows=None, d_rows=None,
+            err=None):
+        record[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": hsh, "spark_rows": s_rows,
+                        "oracle_rows": d_rows, "err": err}
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -72,7 +84,10 @@ def main():
     for name, sql in sorted(list(oracle.items()) + [(n, None) for n in PY_ORACLES]):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            if sql is None and name not in oracle:
+                continue  # python-oracle query not part of this subset run
             print(f"FAIL {name}: no spark output")
+            rec(name, err="no_spark_output")
             n_fail += 1
             continue
         spark_tbl = pq.read_table(files[0]).to_pandas()
@@ -83,10 +98,14 @@ def main():
             duck_cols = sorted(recs[0].keys()) if recs else spark_cols
             if duck_cols != spark_cols:
                 print(f"FAIL {name}: columns spark={spark_cols} py={duck_cols}")
+                rec(name, schema=False, s_rows=len(spark_rows), d_rows=len(recs))
                 n_fail += 1
                 continue
             duck_rows = canon(tuple(r[c] for c in duck_cols) for r in recs)
-            if spark_rows == duck_rows:
+            ok = spark_rows == duck_rows
+            rec(name, rows=len(spark_rows) == len(duck_rows), schema=True,
+                hsh=ok, s_rows=len(spark_rows), d_rows=len(duck_rows))
+            if ok:
                 print(f"PASS {name} ({len(spark_rows)} rows, python oracle)")
                 n_pass += 1
             else:
@@ -97,15 +116,20 @@ def main():
             duck = con.execute(sql).fetch_df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec(name, s_rows=len(spark_rows), err=f"duckdb: {e}")
             n_fail += 1
             continue
         duck_cols = sorted(duck.columns)
         if duck_cols != spark_cols:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            rec(name, schema=False, s_rows=len(spark_rows), d_rows=len(duck))
             n_fail += 1
             continue
         duck_rows = canon(duck[duck_cols].itertuples(index=False, name=None))
-        if spark_rows == duck_rows:
+        ok = spark_rows == duck_rows
+        rec(name, rows=len(spark_rows) == len(duck_rows), schema=True,
+            hsh=ok, s_rows=len(spark_rows), d_rows=len(duck_rows))
+        if ok:
             print(f"PASS {name} ({len(spark_rows)} rows)")
             n_pass += 1
         else:
@@ -118,6 +142,9 @@ def main():
                 print(f"  duck-only:  {only_d}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if out_json:
+        json.dump(record, open(out_json, "w"), indent=1)
+        print(f"wrote {out_json} ({len(record)} queries)")
     sys.exit(1 if n_fail else 0)
 
 
