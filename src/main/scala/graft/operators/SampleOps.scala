@@ -202,4 +202,48 @@ object SampleOps {
       |    len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tok
       |  FROM documents)
       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
+
+  /** Deterministic global corpus shuffle — the "randomize training
+    * order" step every pretraining run needs. Each doc's shuffle key is
+    * a salted md5 of its id, and the op emits the doc's 1-based position
+    * in the key-sorted order: a reproducible pseudorandom permutation
+    * (same corpus → same order on any engine, cluster size, or retry).
+    *
+    * The global position is computed WITHOUT a global-order window
+    * (`row_number() OVER (ORDER BY key)` collapses to ONE task — the
+    * classic scale trap): the key's first hex byte buckets the corpus
+    * into 256 ranges whose lexicographic order equals their numeric
+    * order, a 256-row count aggregate turns into cumulative offsets
+    * (a bounded 256-row window, independent of corpus size), and each
+    * doc's position is its bucket offset plus its rank WITHIN the
+    * bucket — 256 parallel window partitions. Two slim exchanges
+    * (count agg + bucket repartition for the rank), both on
+    * (bucket, key) rows, never the text. The downstream writer sorts
+    * files by `pos` ranges — exactly how a 100 TB corpus gets a stable
+    * epoch order.
+    */
+  def docShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit(":shuf-v1"))))
+      .withColumn("bucket", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+    // 256-row histogram -> exclusive prefix sum; the window runs over a
+    // bounded 256-row frame regardless of corpus size, then broadcasts
+    val offs = d.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        sum(col("n")).over(Window.orderBy(col("bucket"))) - col("n"))
+      .select(col("bucket"), col("off"))
+    // fixed-width lowercase-hex keys order identically as strings and as
+    // numbers, so (bucket, skey) order == global skey order
+    val wB = Window.partitionBy(col("bucket")).orderBy(col("skey"), col("doc_id"))
+    d.join(broadcast(offs), Seq("bucket"))
+      .withColumn("pos", col("off") + row_number().over(wB))
+      .select(col("pos"), col("doc_id"), col("lang"))
+  }
+
+  val docShuffleSql: String =
+    """SELECT row_number() OVER (ORDER BY md5(doc_id || ':shuf-v1'), doc_id) AS pos,
+      |  doc_id, lang
+      |FROM documents""".stripMargin
 }

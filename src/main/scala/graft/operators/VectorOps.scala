@@ -709,6 +709,87 @@ object VectorOps {
   private def l2Duck(a: String, b: String, d: Int): String =
     s"list_sum(list_transform(range(1, ${d + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
+  /** (vec_id, s, sv): each vector split into `m` subspace slices —
+    * the working form every PQ stage (train, encode, query LUT) reads. */
+  private def pqSub(e: DataFrame, m: Int): DataFrame = {
+    val sd = dims / m
+    e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS s, slice(v, s * $sd + 1, $sd) AS sv))")).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.sv").as("sv"))
+  }
+
+  /** Nearest codebook entry per (vector, subspace) — argmin L2 with
+    * lowest-c_id tie-break, the same deterministic discipline as
+    * [[lloyd]]. Codebooks are tiny (k·d doubles) and ride a broadcast;
+    * the argmin folds into one map-side struct-min aggregate. */
+  private def pqAssignTo(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), Seq("s"))
+      .withColumn("d", expr(l2Sql("sv", "cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("c_id"))).as("mn"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("s"), col("sv"), col("mn.c_id").as("c_id"))
+
+  /** `iters` Lloyd rounds per subspace (init = k lowest-id sub-vectors,
+    * per-dimension mean rounded to 6 decimals per iteration). One
+    * exchange per iteration regardless of `m` — the s-fanout folds into
+    * the same map-side argmin. */
+  private def pqTrain(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = sub.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    (1 to iters).foreach { _ =>
+      cent = pqAssignTo(sub, cent)
+        .select(col("s"), col("c_id"), posexplode(col("sv")))
+        .groupBy(col("s"), col("c_id"), (col("pos") + 1).as("i"))
+        .agg(round(avg(col("col")), 6).as("mc"))
+        .groupBy(col("s"), col("c_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, mc))), z -> z.mc)")
+          .as("cv"))
+    }
+    cent
+  }
+
+  /** DuckDB twin of the PQ chain: emits CTEs `{p}sub, {p}c0, {p}a1,
+    * {p}c1, …, {p}codes, {p}lut` reading the surrounding query's `n`
+    * CTE (vec_id, v). The prefix keeps the chain composable next to
+    * [[kmeansCtes]]'s own c0/a1/… names (the IVF-PQ twin runs both). */
+  private def pqCtesDuck(p: String, m: Int, k: Int, iters: Int): String = {
+    val sd = dims / m
+    def assignCte(centTable: String): String =
+      s"""SELECT vec_id, s, sv, c_id FROM (
+         |    SELECT sub.vec_id, sub.s, sub.sv, c.c_id,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+         |        ${l2Duck("sub.sv", "c.cv", sd)} ASC, c.c_id ASC) AS rn
+         |    FROM ${p}sub sub JOIN $centTable c USING (s))
+         |  WHERE rn = 1""".stripMargin
+    def updateCte(assignTable: String): String =
+      s"""SELECT s, c_id, list(mc ORDER BY i) AS cv FROM (
+         |    SELECT s, c_id, i, round(avg(sv[i]), 6) AS mc
+         |    FROM $assignTable, range(1, ${sd + 1}) t(i) GROUP BY s, c_id, i)
+         |  GROUP BY s, c_id""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${p}a$r AS (${assignCte(s"${p}c${r - 1}")}),
+         |${p}c$r AS (${updateCte(s"${p}a$r")})""".stripMargin
+    }.mkString(",\n")
+    s"""${p}sub AS (
+       |  SELECT vec_id, s, v[s*$sd+1 : s*$sd+$sd] AS sv
+       |  FROM n, range(0, $m) t(s)),
+       |${p}c0 AS (SELECT s, vec_id AS c_id, sv AS cv FROM ${p}sub WHERE vec_id < $k),
+       |$rounds,
+       |${p}codes AS (
+       |  SELECT vec_id, s, c_id AS code FROM (
+       |    SELECT sub.vec_id, sub.s, c.c_id,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+       |        ${l2Duck("sub.sv", "c.cv", sd)} ASC, c.c_id ASC) AS rn
+       |    FROM ${p}sub sub JOIN ${p}c$iters c USING (s))
+       |  WHERE rn = 1),
+       |${p}lut AS (
+       |  SELECT sub.vec_id AS q_id, sub.s, c.c_id AS code,
+       |    round(${l2Duck("sub.sv", "c.cv", sd)}, 6) AS pd
+       |  FROM ${p}sub sub JOIN ${p}c$iters c USING (s) WHERE sub.vec_id < 10)""".stripMargin
+  }
+
   /** Product quantization (the FAISS PQ stage): split each vector into
     * `m` subspaces, train a k-entry L2 codebook per subspace (same
     * deterministic Lloyd discipline as [[embKmeans]]: init = k lowest-id
@@ -736,35 +817,13 @@ object VectorOps {
   def embPq(spark: SparkSession, sfDir: String,
             m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
     graft.functions.L2Distance.register(spark)
-    val sd = dims / m
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("v"))
-    // one row per (vector, subspace): sv = the subspace slice
-    val sub = e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> " +
-          s"struct(s AS s, slice(v, s * $sd + 1, $sd) AS sv))")).as("z"))
-      .select(col("vec_id"), col("z.s").as("s"), col("z.sv").as("sv"))
+    val sub = pqSub(e, m)
       .transform(CacheScope.barrier) // consumed per iteration + encode + queries
-    def assignTo(cent: DataFrame): DataFrame =
-      sub.join(broadcast(cent), Seq("s"))
-        .withColumn("d", expr(l2Sql("sv", "cv")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d"), col("c_id"))).as("mn"),
-          first(col("sv")).as("sv"))
-        .select(col("vec_id"), col("s"), col("sv"), col("mn.c_id").as("c_id"))
-    var cent = sub.filter(col("vec_id") < k)
-      .select(col("s"), col("vec_id").as("c_id"), col("sv").as("cv"))
-    (1 to iters).foreach { _ =>
-      cent = assignTo(cent)
-        .select(col("s"), col("c_id"), posexplode(col("sv")))
-        .groupBy(col("s"), col("c_id"), (col("pos") + 1).as("i"))
-        .agg(round(avg(col("col")), 6).as("mc"))
-        .groupBy(col("s"), col("c_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(i, mc))), z -> z.mc)")
-          .as("cv"))
-    }
-    cent = cent.transform(CacheScope.barrier) // encode + LUT both read it
-    val codes = assignTo(cent).select(col("vec_id"), col("s"), col("c_id").as("code"))
+    val cent = pqTrain(sub, k, iters)
+      .transform(CacheScope.barrier) // encode + LUT both read it
+    val codes = pqAssignTo(sub, cent).select(col("vec_id"), col("s"), col("c_id").as("code"))
     val lut = sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
       .join(broadcast(cent), Seq("s"))
@@ -782,42 +841,11 @@ object VectorOps {
   }
 
   /** DuckDB twin of [[embPq]] (m=16, k=64, iters=2, top-5). */
-  val embPqSql: String = {
-    val (m, k, sd) = (16, 64, 4)
-    def assignCte(centTable: String): String =
-      s"""SELECT vec_id, s, sv, c_id FROM (
-         |    SELECT sub.vec_id, sub.s, sub.sv, c.c_id,
-         |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
-         |        ${l2Duck("sub.sv", "c.cv", sd)} ASC, c.c_id ASC) AS rn
-         |    FROM sub JOIN $centTable c USING (s))
-         |  WHERE rn = 1""".stripMargin
-    def updateCte(assignTable: String): String =
-      s"""SELECT s, c_id, list(mc ORDER BY i) AS cv FROM (
-         |    SELECT s, c_id, i, round(avg(sv[i]), 6) AS mc
-         |    FROM $assignTable, range(1, ${sd + 1}) t(i) GROUP BY s, c_id, i)
-         |  GROUP BY s, c_id""".stripMargin
+  val embPqSql: String =
     s"""WITH n AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |sub AS (
-       |  SELECT vec_id, s, v[s*$sd+1 : s*$sd+$sd] AS sv
-       |  FROM n, range(0, $m) t(s)),
-       |c0 AS (SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < $k),
-       |a1 AS (${assignCte("c0")}),
-       |c1 AS (${updateCte("a1")}),
-       |a2 AS (${assignCte("c1")}),
-       |c2 AS (${updateCte("a2")}),
-       |codes AS (
-       |  SELECT vec_id, s, c_id AS code FROM (
-       |    SELECT sub.vec_id, sub.s, c.c_id,
-       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
-       |        ${l2Duck("sub.sv", "c.cv", sd)} ASC, c.c_id ASC) AS rn
-       |    FROM sub JOIN c2 c USING (s))
-       |  WHERE rn = 1),
-       |lut AS (
-       |  SELECT sub.vec_id AS q_id, sub.s, c.c_id AS code,
-       |    round(${l2Duck("sub.sv", "c.cv", sd)}, 6) AS pd
-       |  FROM sub JOIN c2 c USING (s) WHERE sub.vec_id < 10),
+       |${pqCtesDuck("", m = 16, k = 64, iters = 2)},
        |scored AS (
        |  SELECT q_id, vec_id AS n_id, round(sum(pd), 6) AS adist
        |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
@@ -828,7 +856,128 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
+
+  /** IVF-PQ composite ANN — the FAISS `IVFx,PQy`-style production index
+    * shape, assembled from the two structures the library already
+    * trains: the coarse quantizer ([[lloyd]], as in [[embIvfTrained]])
+    * restricts each query to its nprobe nearest Voronoi cells, and the
+    * PQ codebooks ([[pqTrain]], as in [[embPq]]) let the scan inside
+    * those cells read m-byte codes instead of vectors, scored by
+    * asymmetric distance against a broadcast per-query LUT. The top
+    * `cand` ADC candidates then re-rank EXACTLY (full-precision cosine
+    * via an id equijoin) — the refine step that recovers the accuracy
+    * PQ gives up. Codes are on raw vectors (FAISS `by_residual=false`):
+    * residual encoding would couple the codebooks to the coarse cells
+    * and force per-cell retraining on any re-clustering; the flat
+    * codebook is the variant that lets one trained PQ serve any probe
+    * pattern.
+    *
+    * 100 TB shape — why this is THE scale recipe: the corpus rides the
+    * pipeline exactly twice after encoding (the m-byte ADC scan over
+    * probed cells only, and the |Q|·cand exact fetch); every model
+    * artifact (coarse centroids ~cells·d, codebooks d·k doubles,
+    * query LUT |Q|·m·k partials, probe table |Q|·nprobe) is broadcast;
+    * the only corpus-wide exchanges are the training aggregates and the
+    * slim (cell, vec_id) / (vec_id, s, code) projections. Inverted
+    * lists are the cell-keyed partitions of the code table — probing is
+    * a broadcast-hash join, not an index lookup, which is what makes
+    * the structure rebuild-free under corpus growth.
+    */
+  def embIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    embIvfPq(spark, sfDir, cells = 16, m = 16, k = 64, iters = 2,
+      nprobe = 2, cand = 30, topK = 5)
+
+  def embIvfPq(spark: SparkSession, sfDir: String, cells: Int, m: Int,
+               k: Int, iters: Int, nprobe: Int, cand: Int, topK: Int): DataFrame = {
+    CosineSimilarity.register(spark)
+    graft.functions.L2Distance.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
+    val piv = lloyd(e, cells, iters)._1
+      .select(col("c_id").as("p_id"), col("cv").as("pv"))
+      .transform(CacheScope.barrier) // cell assign + probes both broadcast it
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val cellAssign = e.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(v, pv)"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("p_id").as("cell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val probes = q.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(qv, pv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("p_id").as("cell"))
+    val sub = pqSub(e, m).transform(CacheScope.barrier)
+    val cent = pqTrain(sub, k, iters).transform(CacheScope.barrier)
+    val codes = pqAssignTo(sub, cent)
+      .select(col("vec_id"), col("s"), col("c_id").as("code"))
+    val lut = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cent), Seq("s"))
+      .select(col("q_id"), col("s"), col("c_id").as("code"),
+        round(expr(l2Sql("qsv", "cv")), 6).as("pd"))
+    // a vector lives in exactly one cell and a query probes nprobe
+    // distinct cells, so the broadcast join yields each (q, n) at most
+    // once — only probed cells' codes ever ride the ADC exchange
+    val pairs = cellAssign.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    val cands = pairs.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(round(sum(col("pd")), 6).as("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= cand)
+      .select(col("q_id"), col("n_id"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cands.join(e.select(col("vec_id").as("n_id"), col("v").as("cv")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** DuckDB twin of [[embIvfPq]] (cells=16, m=16, k=64, nprobe=2,
+    * cand=30, top-5) — the [[ivfCellProbeCtes]] coarse chain and the
+    * `p`-prefixed [[pqCtesDuck]] chain composed in one WITH. */
+  val embIvfPqSql: String =
+    s"""WITH $ivfCellProbeCtes,
+       |${pqCtesDuck("p", m = 16, k = 64, iters = 2)},
+       |cpairs AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id),
+       |adc AS (
+       |  SELECT cp.q_id, cp.n_id, round(sum(l.pd), 6) AS adist
+       |  FROM cpairs cp
+       |  JOIN pcodes co ON co.vec_id = cp.n_id
+       |  JOIN plut l ON l.q_id = cp.q_id AND l.s = co.s AND l.code = co.code
+       |  GROUP BY cp.q_id, cp.n_id),
+       |candq AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS arank
+       |    FROM adc)
+       |  WHERE arank <= 30)
+       |SELECT q_id, rank, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT cq.q_id, cq.n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |      / (q.vn * c.vn) AS cos,
+       |    row_number() OVER (PARTITION BY cq.q_id ORDER BY
+       |      list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |        / (q.vn * c.vn) DESC, cq.n_id ASC) AS rank
+       |  FROM candq cq
+       |  JOIN n q ON q.vec_id = cq.q_id
+       |  JOIN n c ON c.vec_id = cq.n_id)
+       |WHERE rank <= 5""".stripMargin
 
   /** Scalar-quantized (SQ8) ANN with exact re-rank — the memory-compression
     * tier between brute force and PQ: each dimension is affinely mapped to
@@ -1092,7 +1241,11 @@ object VectorOps {
     * → cell assignment → query probes → ranked candidates. Reused by
     * `embRecallSql`, whose exact side reuses the same `n` CTE.
     */
-  private def ivfTrainedCtes: String =
+  /** Trained coarse quantizer CTEs — `piv` (16 trained centroids),
+    * `cells` (every vector's Voronoi cell), `probes` (queries × their
+    * nprobe=2 nearest cells) — shared by the trained-IVF, IVF-recall,
+    * and IVF-PQ twins. */
+  private def ivfCellProbeCtes: String =
     s"""${kmeansCtes(k = 16, iters = 2)},
        |piv AS (
        |  SELECT c_id AS p_id, cv AS pv,
@@ -1113,7 +1266,10 @@ object VectorOps {
        |        list_sum(list_transform(range(1, ${dims + 1}), i -> n.v[i] * piv.pv[i]))
        |          / (n.vn * piv.pn) DESC, piv.p_id ASC) AS rn
        |    FROM n, piv WHERE n.vec_id < 10)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= 2)""".stripMargin
+
+  private def ivfTrainedCtes: String =
+    s"""$ivfCellProbeCtes,
        |ivf_ranked AS (
        |  SELECT p.q_id, c.vec_id AS n_id,
        |    list_sum(list_transform(range(1, ${dims + 1}), i -> p.qv[i] * c.v[i]))

@@ -136,6 +136,33 @@ class AccuracySpec extends SparkSpec {
     assert(members.max <= n * 0.5, "one trained cell holds most of the corpus")
   }
 
+  test("IVF-PQ: recall monotone in cand; full probes + full cand == brute force") {
+    import graft.operators.VectorOps
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val exact = VectorOps.embKnn(spark, sf)
+    val exactPairs = pairs(exact)
+    def recall(cand: Int) =
+      pairs(VectorOps.embIvfPq(spark, sf, cells = 16, m = 16, k = 64,
+        iters = 2, nprobe = 2, cand = cand, topK = 5))
+        .intersect(exactPairs).size.toDouble / exactPairs.size
+    val r10 = recall(10)
+    val r30 = recall(30)
+    info(f"IVF-PQ recall@5: cand=10 → $r10%.3f, cand=30 → $r30%.3f")
+    // with fixed probes a larger cand keeps a superset of ADC candidates,
+    // and the exact re-rank never drops a true neighbor it was given
+    assert(r30 >= r10, s"recall must be monotone in cand: $r10 vs $r30")
+    assert(r30 >= 0.5, s"cand=30 recall too low: $r30")
+    // probing every cell puts the whole corpus in the ADC scan; cand >=
+    // corpus keeps all of it; the exact re-rank is then brute force, exactly
+    assert(triples(VectorOps.embIvfPq(spark, sf, cells = 16, m = 16, k = 64,
+      iters = 2, nprobe = 16, cand = 1000, topK = 5)) == triples(exact))
+  }
+
   test("SemDeDup: every within-cluster drop pair is a true >=0.3-cosine pair") {
     import graft.operators.VectorOps
     val exhaustive = VectorOps.embNeardupLsh(spark, sf, planes = 0) // all-pairs truth

@@ -181,7 +181,8 @@ class PlanSpec extends SparkSpec {
       "doc_dsir_sample", // composes doc_dsir (same 1-row broadcasts)
       "emb_bq_knn", // 1-row dim-stats broadcast + query-bits broadcast, like emb_sq8_knn
       "emb_bq_recall", // composes emb_knn + emb_bq_knn (both allowlisted)
-      "doc_ccnet_buckets") // composes doc_lm_score (1-row vocab broadcast)
+      "doc_ccnet_buckets", // composes doc_lm_score (1-row vocab broadcast)
+      "emb_ivf_pq") // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -622,6 +623,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "centroids/LUT must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "nothing in PQ justifies a sort-merge join (codebooks are k*d doubles)")
+  }
+
+  test("emb_ivf_pq: probe/LUT/code joins broadcast; no sort-merge join anywhere") {
+    CacheScope.release()
+    spark.catalog.clearCache()
+    val p = CacheScope.uncached {
+      SparkEntry.queries("emb_ivf_pq")(spark, sf).queryExecution.executedPlan.toString
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      "probe table / LUT / codebooks must broadcast")
+    // the one allowed shuffle join is the candidate-pairs ⋈ codes equijoin
+    // on vec_id — slim id rows; every MODEL artifact must broadcast, so a
+    // sort-merge join keyed on anything but the id columns is a regression
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id#") || l.contains("n_id#"),
+        s"sort-merge join on a non-id key (model artifact not broadcast?): $l")
+    }
+  }
+
+  test("doc_shuffle: corpus-side rank hash-distributes; offsets ride a broadcast") {
+    val p = plan("doc_shuffle")
+    // the 256-bucket prefix-sum construction: the big-side window must be
+    // partitioned on bucket (256-way parallel), with the tiny offset
+    // table broadcast back — a global-order window would show a
+    // SinglePartition exchange feeding the corpus-side Window instead
+    assert(p.contains("hashpartitioning(bucket"),
+      s"corpus-side window must hash-distribute on bucket:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast")
   }
 
   test("dedup_incremental: band exchange carries only (doc_id, band, bh)") {
