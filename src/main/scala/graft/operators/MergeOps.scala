@@ -75,7 +75,14 @@ object MergeOps {
     val ord = Tables.orders(spark, sfDir)
     val upd = ord.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_orderstatus", lit("R"))
-      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      // +10% on the integer cent grid. o_totalprice is a 2-decimal value in
+      // a double, so round(p*100) recovers exact cents; ×11 then half-up to
+      // the dime keeps the tie-break (…x.5 cents, i.e. cents ending in 5)
+      // in integer space where both engines agree — round(p*1.1, 2) parked
+      // those ties on engine-dependent double formatting (one tie row
+      // diverged at sf0.1; none existed at sf0.01).
+      .withColumn("o_totalprice", expr(
+        "floor((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) / 10.0) / 100.0"))
     val ins = ord.filter(col("o_orderkey") % 101 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
       .withColumn("o_orderstatus", lit("N"))
@@ -150,7 +157,8 @@ object MergeOps {
   val q26UpsertSql: String =
     """WITH u AS (
       |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
-      |    round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderdate,
+      |    floor((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) / 10.0) / 100.0
+      |      AS o_totalprice, o_orderdate,
       |    o_orderpriority
       |  FROM orders WHERE o_orderkey % 97 = 0
       |  UNION ALL

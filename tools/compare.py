@@ -15,7 +15,10 @@ Scala library.
 import glob
 import json
 import math
+import os
 import sys
+import threading
+import time
 import zlib
 
 import duckdb
@@ -81,7 +84,26 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+
+    # Above-sf0.01 gate runs: some oracle twins are deliberately quadratic
+    # (they exist to oracle a banded operator, SCALE.md) and DuckDB grinds
+    # them for hours at 10x data. Rather than hang — or silently drop them —
+    # a watchdog interrupts any single oracle after ORACLE_TIMEOUT_S and the
+    # row is RECORDED as oracle_timeout (a named skip, never a silent one).
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
+
+    def timed_execute(sql):
+        if not timeout_s:
+            return con.execute(sql).fetch_df()
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetch_df()
+        finally:
+            timer.cancel()
+
     for name, sql in sorted(list(oracle.items()) + [(n, None) for n in PY_ORACLES]):
+        t0 = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             if sql is None and name not in oracle:
@@ -113,11 +135,16 @@ def main():
                 n_fail += 1
             continue
         try:
-            duck = con.execute(sql).fetch_df()
+            duck = timed_execute(sql)
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            rec(name, s_rows=len(spark_rows), err=f"duckdb: {e}")
-            n_fail += 1
+            if "INTERRUPT" in str(e).upper() or "interrupt" in type(e).__name__.lower():
+                print(f"SKIP {name}: oracle exceeded {timeout_s:.0f}s "
+                      f"(recorded as oracle_timeout)", flush=True)
+                rec(name, s_rows=len(spark_rows), err="oracle_timeout")
+            else:
+                print(f"FAIL {name}: duckdb error: {e}")
+                rec(name, s_rows=len(spark_rows), err=f"duckdb: {e}")
+                n_fail += 1
             continue
         duck_cols = sorted(duck.columns)
         if duck_cols != spark_cols:
@@ -130,7 +157,8 @@ def main():
         rec(name, rows=len(spark_rows) == len(duck_rows), schema=True,
             hsh=ok, s_rows=len(spark_rows), d_rows=len(duck_rows))
         if ok:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(spark_rows)} rows, {time.time() - t0:.1f}s)",
+                  flush=True)
             n_pass += 1
         else:
             print(f"FAIL {name}: {len(spark_rows)} spark rows vs {len(duck_rows)} duck rows")
