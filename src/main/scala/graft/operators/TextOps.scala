@@ -69,6 +69,56 @@ object TextOps {
       |       ELSE round(length(text) / len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 4) END AS bytes_per_tok
       |FROM documents""".stripMargin
 
+  /** Sliding-window chunking — split each document into fixed-size token
+    * windows with overlap, the step that turns a variable-length corpus
+    * into context-window-sized training units (overlap preserves
+    * cross-boundary n-grams for next-token supervision). Chunk starts
+    * are 1, 1+stride, …; a tail window whose tokens are all already
+    * covered by the previous window (start+chunk−stride ≥ n, possible
+    * because stride < chunk) is suppressed — it would be a pure
+    * duplicate in the training stream.
+    *
+    * Scale shape: per-row `sequence`+`explode` — zero exchanges; output
+    * fan-out per doc is n/stride rows, each carrying only its own slice
+    * of the text, so downstream shuffles (e.g. a pack or shuffle stage)
+    * move ~n/stride × chunk tokens, bounded by (chunk/stride)× the
+    * corpus, never by doc count × max-doc-length.
+    */
+  def docChunk(spark: SparkSession, sfDir: String): DataFrame =
+    docChunk(spark, sfDir, chunk = 64, stride = 48)
+
+  def docChunk(spark: SparkSession, sfDir: String, chunk: Int, stride: Int): DataFrame =
+    docChunkOf(Tables.documents(spark, sfDir), chunk, stride)
+
+  /** Core over any (doc_id, text) frame — [[MergeOps.scd2]] pattern. */
+  def docChunkOf(docs: DataFrame, chunk: Int, stride: Int): DataFrame =
+    docs
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")))
+      .withColumn("s", explode(expr(s"sequence(1, greatest(n, 1), $stride)")))
+      .filter(col("s") === 1 || col("s") + (chunk - stride) <= col("n"))
+      .select(col("doc_id"),
+        expr(s"CAST((s - 1) div $stride AS BIGINT)").as("chunk_idx"),
+        col("s").cast("long").as("tok_start"),
+        least(lit(chunk), col("n") - col("s") + 1).cast("long").as("n_tok"),
+        array_join(slice(col("t"), col("s"), lit(chunk)), " ").as("chunk_text"))
+
+  val docChunkSql: String = {
+    val (chunk, stride) = (64, 48)
+    s"""SELECT doc_id,
+       |  CAST((s - 1) // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(s AS BIGINT) AS tok_start,
+       |  CAST(least($chunk, n - s + 1) AS BIGINT) AS n_tok,
+       |  array_to_string(list_slice(t, s, s + ${chunk - 1}), ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, t, n, unnest(generate_series(1, greatest(n, 1), $stride)) AS s
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t,
+       |          len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n
+       |        FROM documents))
+       |WHERE s = 1 OR s + ${chunk - stride} <= n""".stripMargin
+  }
+
   /** Quality scoring: length stats + stopword ratio (the filter signals a
     * pretraining pipeline thresholds on).
     */
@@ -527,11 +577,14 @@ object TextOps {
           |         + 120L * CAST(round(stop_ratio * 10000) AS BIGINT)
           |         + 7L * CAST(round(avg_token_len * 10000) AS BIGINT)""".stripMargin))
       .select(col("doc_id"),
-        round(col("lq") / lit(200000.0), 4).as("logit"),
+        // logit = lq/2e5 on the 1e-4 grid = lq/20 half-up — the tie (lq%20
+        // == ±10) is broken in integer space; round(lq/200000.0, 4) parked
+        // it on engine-dependent double formatting (diverged at sf0.1)
+        (floor((col("lq") + 10L) / lit(20.0)) / lit(10000.0)).as("logit"),
         (col("lq") >= 0L).cast("int").as("admit"))
 
   val docQualityLogitSql: String =
-    s"""SELECT doc_id, round(lq / 200000.0, 4) AS logit,
+    s"""SELECT doc_id, floor((lq + 10) / 20.0) / 10000.0 AS logit,
        |  (lq >= 0)::INTEGER AS admit FROM (
        |  SELECT doc_id,
        |    -600000 + 50 * CAST(round(uniq_ratio * 10000) AS BIGINT)

@@ -1317,4 +1317,185 @@ object VectorOps {
        |    AS recall_at_5
        |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
        |GROUP BY e.q_id""".stripMargin
+
+  // ───────────────────────────── PCA family ─────────────────────────────
+
+  /** Population covariance matrix of the embedding corpus — the model-fit
+    * input for PCA whitening (the standard preprocessing before SemDeDup /
+    * IVF training; FAISS ships it as `PCAMatrix`). Upper triangle only
+    * (i ≤ j), 1-based-free integer dim indices, d(d+1)/2 = 2080 rows.
+    *
+    * Determinism recipe: elements are quantized ONCE to the integer
+    * milli-grid (`round(x·1000)` — exact BIGINT), so every second-moment
+    * and dim sum is an integer total that no fold order can perturb; the
+    * final `(Σxy − ΣxΣy/n)/n` runs the SAME correctly-rounded IEEE ops in
+    * both engines on those exact integers, so the emitted doubles are
+    * bit-identical with no rounding step (a `round(…, k)` here would
+    * re-introduce the half-tie hazard this recipe exists to avoid).
+    *
+    * Scale shape: one per-row flat-map to 2080 slim (i, j, prod) terms,
+    * collapsed map-side by the hash aggregate — the only exchange carries
+    * ≤ 2080 partial rows per task regardless of corpus size; dim sums and
+    * the count ride the same pattern and attach via broadcast.
+    */
+  def embCov(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir).select(
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("vq"))
+    val prods = q
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+           |  transform(sequence(i, ${dims - 1}), j ->
+           |    struct(i AS i, j AS j,
+           |           element_at(vq, i + 1) * element_at(vq, j + 1) AS p))))"""
+          .stripMargin)).as("z"))
+      .select(col("z.i").as("i"), col("z.j").as("j"), col("z.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s_ij"))
+    val dimSums = q
+      .select(posexplode(col("vq")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("s"))
+    val n = q.agg(count(lit(1)).as("n"))
+    prods
+      .join(broadcast(dimSums.select(col("i"), col("s").as("s_i"))), Seq("i"))
+      .join(broadcast(dimSums.select(col("i").as("j"), col("s").as("s_j"))), Seq("j"))
+      .crossJoin(broadcast(n)) // 1-row scalar attach (whitelisted shape)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        expr("""(CAST(s_ij AS DOUBLE)
+               | - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
+               | / CAST(n AS DOUBLE) / 1000000.0""".stripMargin).as("cov"))
+  }
+
+  val embCovSql: String =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |           x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT i, j, sum(vq[i + 1] * vq[j + 1]) AS s_ij
+       |  FROM q, generate_series(0, ${dims - 1}) g1(i),
+       |       generate_series(0, ${dims - 1}) g2(j)
+       |  WHERE i <= j GROUP BY i, j),
+       |d AS (
+       |  SELECT i, sum(vq[i + 1]) AS s
+       |  FROM q, generate_series(0, ${dims - 1}) g(i) GROUP BY i),
+       |c AS (SELECT count(*) AS n FROM q)
+       |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       |  (CAST(s_ij AS DOUBLE)
+       |   - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / CAST(n AS DOUBLE))
+       |  / CAST(n AS DOUBLE) / 1000000.0 AS cov
+       |FROM p, c
+       |JOIN d a ON p.i = a.i
+       |JOIN d b ON p.j = b.i""".stripMargin
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — driver-side,
+    * O(d³) on a d×d input that is CORPUS-SIZE-INDEPENDENT (d=64 here): the
+    * same contract as collecting a broadcast side or k-means init, not a
+    * data-sized collect. Returns (eigenvalues desc, row-major eigenvector
+    * rows), deterministically: fixed sweep order, fixed convergence
+    * threshold, eigenvalue-desc sort with index tie-break, and a sign
+    * canon (largest-|component| entry made positive, first index on ties).
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone)
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-18) {
+      off = 0.0
+      for (p <- 0 until d; qi <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(qi)))
+        if (math.abs(a(p)(qi)) > 1e-18) {
+          val theta = (a(qi)(qi) - a(p)(p)) / (2.0 * a(p)(qi))
+          val t = math.signum(theta) match {
+            case 0.0 => 1.0
+            case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(qi)
+            a(k)(p) = c * akp - s * akq
+            a(k)(qi) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(qi)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(qi)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(qi)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(qi) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val w = Array.tabulate(d)(r => v(r)(i))
+      val mx = w.indices.maxBy(k => (math.abs(w(k)), -k))
+      if (w(mx) < 0) w.map(x => -x) else w
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Fit PCA from the corpus: returns (means, eigenvalues desc,
+    * eigenvector rows). Collects only the d + d(d+1)/2 model scalars.
+    */
+  private[graft] def pcaFit(spark: SparkSession, sfDir: String)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val covRows = embCov(spark, sfDir).collect()
+    val m = Array.ofDim[Double](dims, dims)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val meanRows = Tables.embeddings(spark, sfDir).select(
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("vq"))
+      .select(posexplode(col("vq")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val means = Array.ofDim[Double](dims)
+    meanRows.foreach(r =>
+      means(r.getInt(0)) = r.getLong(1).toDouble / r.getLong(2).toDouble / 1000.0)
+    val (vals, vecs) = jacobiEigen(m)
+    (means, vals, vecs)
+  }
+
+  /** PCA projection to the top-k principal components — the dimensionality
+    * reduction / whitening-precursor step (SemDeDup and FAISS `PCAMatrix`
+    * both run it before clustering). Two phases, the [[embKmeans]] /
+    * [[embIvfTrained]] pattern: FIT collects the fixed-size d×d model
+    * (covariance → Jacobi eigensolve, corpus-size-independent); APPLY is a
+    * pure per-row projection with the centered-dot-product folded into one
+    * HOF per component, model riding the plan as literals — zero
+    * exchanges, no UDF. Output flattened to p0..p{k-1} ([[embRp]]
+    * precedent). No SQL oracle (DuckDB has no eigensolver): driver records
+    * rows-only; AccuracySpec bounds it against first principles
+    * (eigenvalue order, orthonormality, Var(p_k) = λ_k, norm preservation
+    * at full k).
+    */
+  def embPcaProject(spark: SparkSession, sfDir: String): DataFrame =
+    embPcaProject(spark, sfDir, k = 8)
+
+  def embPcaProject(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val (means, _, vecs) = pcaFit(spark, sfDir)
+    def lit9(d: Double) = java.lang.Double.toString(d) + "D"
+    val mArr = means.map(lit9).mkString("array(", ", ", ")")
+    val cols = (0 until k).map { c =>
+      val wArr = vecs(c).map(lit9).mkString("array(", ", ", ")")
+      expr(
+        s"""aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), (acc, i) ->
+           |  acc + (CAST(element_at(embedding, i + 1) AS DOUBLE)
+           |         - element_at($mArr, i + 1))
+           |      * element_at($wArr, i + 1))""".stripMargin).as(s"p$c")
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: cols: _*)
+  }
 }

@@ -326,4 +326,45 @@ class AccuracySpec extends SparkSpec {
     info(s"ccnet buckets over ${langs.size} langs: " +
       rows.toSeq.sortBy(_._1).map { case ((l, b), c) => s"$l/$b=$c" }.mkString(", "))
   }
+
+  test("emb_pca: eigensolve + projection satisfy first-principles PCA bounds") {
+    val sf01 = "/root/testdata/sf0.01"
+    val d = 64
+    val (means, vals, vecs) = VectorOps.pcaFit(spark, sf01)
+    // eigenvalues: non-negative (covariance is PSD) and sorted descending
+    vals.foreach(v => assert(v >= -1e-9, s"negative eigenvalue $v"))
+    vals.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, s"eigenvalues not descending: $a < $b")
+    }
+    // eigenvectors: orthonormal rows (W Wᵀ = I)
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"W row $a · row $b = $dot ≠ $want")
+    }
+    // projection: Var(p_k) reproduces λ_k (ties the APPLY phase to the FIT
+    // phase — a wrong sign, off-by-one dim, or uncentered projection all
+    // break this), and at full k the projection is an isometry of the
+    // centered data (total variance preserved)
+    val k = 8
+    val proj = VectorOps.embPcaProject(spark, sf01, k).collect()
+    val n = proj.length.toDouble
+    (0 until k).foreach { c =>
+      val xs = proj.map(_.getDouble(c + 1))
+      val mean = xs.sum / n
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varc - vals(c)) <= 1e-6 + 1e-3 * vals(c),
+        s"Var(p$c) $varc vs λ_$c ${vals(c)}")
+    }
+    val full = VectorOps.embPcaProject(spark, sf01, d).collect()
+    val totProj = (0 until d).map { c =>
+      val xs = full.map(_.getDouble(c + 1)); val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }.sum
+    val totData = vals.sum
+    assert(math.abs(totProj - totData) <= 1e-6 + 1e-4 * totData,
+      s"full-k projected variance $totProj vs trace $totData")
+    info(f"top-8 λ: ${vals.take(8).map(v => f"$v%.5f").mkString(", ")}; " +
+      f"explained(8)=${vals.take(8).sum / totData * 100}%.1f%%")
+  }
 }

@@ -724,4 +724,30 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("doc_chunk: pure per-row flat-map — zero exchanges") {
+    assert(countExchanges("doc_chunk") == 0)
+  }
+
+  test("emb_cov: moment exchange carries (i, j, partial) only; model joins broadcast") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.queries("emb_cov")(spark, sf).queryExecution.executedPlan
+      // the second-moment aggregation is the ONLY data-sized exchange and
+      // it moves 2080-key partials, never vectors; dim sums + n attach as
+      // broadcasts (the whole 100 TB story of the outer-product shape)
+      val shuffles = phys.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      shuffles.foreach { s =>
+        val cols = s.output.map(_.name)
+        assert(!cols.exists(c => c.contains("vq") || c.contains("embedding")),
+          s"vector column rides an exchange: $cols")
+      }
+      val bcasts = phys.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.size >= 3, s"dim sums ×2 + n should broadcast, saw ${bcasts.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

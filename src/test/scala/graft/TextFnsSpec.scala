@@ -116,4 +116,35 @@ class TextFnsSpec extends SparkSpec {
     val fc = winnowModel("0123456789 0123456789 0123456789").toSet
     assert(fa.intersect(fc).isEmpty)
   }
+
+  test("docChunk: coverage, overlap, and tail-suppression semantics") {
+    import graft.operators.TextOps
+    val words = (1 to 100).map(i => s"w$i")
+    val df = spark.createDataFrame(Seq(
+      (1, ""),                          // norm-empty → 1 pseudo-token, 1 chunk
+      (2, "a b c"),                     // below one window → 1 chunk
+      (3, words.take(64).mkString(" ")),// exactly one window
+      (4, words.take(80).mkString(" ")),// 1+tail: start 49 adds tokens 65..80
+      (5, words.mkString(" "))          // 100 tokens → starts 1, 49 only
+    )).toDF("doc_id", "text")
+    val out = TextOps.docChunkOf(df, chunk = 64, stride = 48)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    assert(out(1).length == 1 && out(1).head._4 == 1)
+    assert(out(2).length == 1 && out(2).head._5 == "a b c")
+    assert(out(3).length == 1 && out(3).head._4 == 64)
+    // doc 4: n=80 → starts 1 and 49 (49+16 ≤ 80); second chunk 32 tokens
+    assert(out(4).map(x => (x._3, x._4)).toSet == Set((1L, 64L), (49L, 32L)))
+    // doc 5: n=100 → start 49 covers to 100; start 97 would add NOTHING
+    // beyond chunk@49's reach (49..112 ⊇ 97..100) so it is suppressed
+    assert(out(5).map(_._3).sorted.toSeq == Seq(1L, 49L))
+    // every token position of doc 5 is covered by some chunk
+    val covered = out(5).flatMap(x => x._3 until (x._3 + x._4)).toSet
+    assert(covered == (1L to 100L).toSet)
+    // chunk text is the exact token slice
+    assert(out(4).find(_._3 == 49L).get._5 ==
+      words.slice(48, 80).mkString(" "))
+  }
 }
