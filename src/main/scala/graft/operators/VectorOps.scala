@@ -1483,12 +1483,34 @@ object VectorOps {
   def embPcaProject(spark: SparkSession, sfDir: String): DataFrame =
     embPcaProject(spark, sfDir, k = 8)
 
-  def embPcaProject(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val (means, _, vecs) = pcaFit(spark, sfDir)
+  def embPcaProject(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    pcaApply(spark, sfDir, k, whiten = false)
+
+  /** PCA whitening — the projection scaled to unit variance per component
+    * (w_k / √λ_k), the exact preprocessing SemDeDup/FAISS apply before
+    * cosine clustering so no principal direction dominates the metric.
+    * Same fit/apply split as [[embPcaProject]]; the scale factor folds
+    * into the literal row weights, so apply cost is identical.
+    */
+  def embWhiten(spark: SparkSession, sfDir: String): DataFrame =
+    embWhiten(spark, sfDir, k = 8)
+
+  def embWhiten(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    pcaApply(spark, sfDir, k, whiten = true)
+
+  private def pcaApply(spark: SparkSession, sfDir: String, k: Int,
+                       whiten: Boolean): DataFrame = {
+    val (means, vals, vecs) = pcaFit(spark, sfDir)
     def lit9(d: Double) = java.lang.Double.toString(d) + "D"
     val mArr = means.map(lit9).mkString("array(", ", ", ")")
     val cols = (0 until k).map { c =>
-      val wArr = vecs(c).map(lit9).mkString("array(", ", ", ")")
+      // λ ≤ 0 (degenerate direction) → weight 0: whitening a no-variance
+      // component would divide by zero for no information gain
+      val scale =
+        if (!whiten) 1.0
+        else if (vals(c) > 0) 1.0 / math.sqrt(vals(c))
+        else 0.0
+      val wArr = vecs(c).map(w => lit9(w * scale)).mkString("array(", ", ", ")")
       expr(
         s"""aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), (acc, i) ->
            |  acc + (CAST(element_at(embedding, i + 1) AS DOUBLE)

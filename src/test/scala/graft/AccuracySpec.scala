@@ -364,6 +364,14 @@ class AccuracySpec extends SparkSpec {
     val totData = vals.sum
     assert(math.abs(totProj - totData) <= 1e-6 + 1e-4 * totData,
       s"full-k projected variance $totProj vs trace $totData")
+    // whitened components have unit variance (the metric-equalizing point)
+    val white = VectorOps.embWhiten(spark, sf01, k).collect()
+    (0 until k).foreach { c =>
+      val xs = white.map(_.getDouble(c + 1))
+      val mean = xs.sum / n
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varc - 1.0) <= 1e-3, s"Var(whitened p$c) = $varc ≠ 1")
+    }
     info(f"top-8 λ: ${vals.take(8).map(v => f"$v%.5f").mkString(", ")}; " +
       f"explained(8)=${vals.take(8).sum / totData * 100}%.1f%%")
   }
