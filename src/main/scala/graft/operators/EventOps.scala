@@ -484,4 +484,63 @@ object EventOps {
       |      WHERE event_type = 'purchase' AND ts_us > tb GROUP BY e.user_id)
       |SELECT a.user_id, a.ta, b.tb, c.tc
       |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin
+
+  /** CEP episode detection — the MATCH_RECOGNIZE `A B* C` shape (here:
+    * `view click* purchase`): every purchase whose immediately preceding
+    * NON-click event is a view opens a matched episode; any other event
+    * type (error, signup, another view, another purchase) in between
+    * resets the anchor, exactly the "no intervening disturbance" CEP
+    * contract. Unlike the funnel family (first-qualifying global stage
+    * times), this emits EVERY episode instance with its span and length.
+    *
+    * Relational formulation instead of sequence collection: an
+    * ignore-nulls `last` over the preceding-rows frame carries the most
+    * recent non-click event alongside each row — the per-user event
+    * sequence is never materialized as an array, so per-user state in
+    * the window is O(1) and the whole operator is ONE user-keyed
+    * exchange shared by both window computations (the shape a 100 TB
+    * clickstream wants; Flink CEP's NFA does the same walk with managed
+    * state).
+    */
+  def evCep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", last(
+        when(col("event_type") =!= "click",
+          struct(col("us"), col("event_id"), col("event_type"), col("rn"))),
+        ignoreNulls = true).over(wPrev))
+      .filter(col("event_type") === "purchase" &&
+        col("anchor.event_type") === "view")
+      .select(col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("anchor.event_id").as("view_id"),
+        col("anchor.us").as("start_us"),
+        col("us").as("end_us"),
+        (col("us") - col("anchor.us")).as("duration_us"),
+        (col("rn") - col("anchor.rn") - 1).cast("long").as("n_clicks"))
+  }
+
+  val evCepSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM e),
+      |a AS (
+      |  SELECT *, last_value(CASE WHEN event_type <> 'click' THEN
+      |      struct_pack(us := us, event_id := event_id,
+      |                  event_type := event_type, rn := rn) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS anchor
+      |  FROM r)
+      |SELECT user_id, event_id AS purchase_id, anchor.event_id AS view_id,
+      |  anchor.us AS start_us, us AS end_us, us - anchor.us AS duration_us,
+      |  CAST(rn - anchor.rn - 1 AS BIGINT) AS n_clicks
+      |FROM a
+      |WHERE event_type = 'purchase' AND anchor.event_type = 'view'""".stripMargin
 }

@@ -729,6 +729,10 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges("doc_chunk") == 0)
   }
 
+  test("ev_cep: both CEP windows share ONE user-keyed exchange") {
+    assert(countExchanges("ev_cep") == 1)
+  }
+
   test("emb_cov: moment exchange carries (i, j, partial) only; model joins broadcast") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
