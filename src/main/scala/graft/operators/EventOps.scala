@@ -268,19 +268,64 @@ object EventOps {
       .select(col("user_id"), col("t0").as("ta"), col("t1").as("tb"),
         col("t2").as("tc"))
 
+  /** Conversion-window funnel: stage i must land within `gapUs` of stage
+    * i−1 (the "converted within 24 h" product metric). Greedy
+    * first-anchor semantics — each stage anchors on the FIRST qualifying
+    * time of the previous stage, the standard analytics-tool definition
+    * and exactly what the min-join oracle computes; a later anchor that
+    * would rescue a missed window is deliberately not searched (that
+    * variant is a different, quadratic metric). Same single-exchange
+    * window plan as [[funnelStages]] — the bound is one more conjunct in
+    * the conditional min.
+    */
+  def funnelStagesBounded(df: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, stages: Seq[String],
+                          gapUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    val base = df.filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol), expr(s"$tsCol div 1000").as("ts_us"), col(typeCol))
+    val staged = stages.zipWithIndex.foldLeft(base) { case (d, (st, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === lit(st)
+        else col(typeCol) === lit(st) && col("ts_us") > col(s"__t${i - 1}") &&
+          col("ts_us") <= col(s"__t${i - 1}") + gapUs
+      d.withColumn(s"__t$i", min(when(cond, col("ts_us"))).over(w))
+    }
+    staged.groupBy(col(userCol))
+      .agg(min(col("__t0")).as("t0"),
+        stages.indices.drop(1).map(i => min(col(s"__t$i")).as(s"t$i")): _*)
+      .filter(col("t0").isNotNull)
+  }
+
+  /** 24-hour conversion window over the view→click→purchase funnel. */
+  val FunnelGapUs: Long = 86400000000L
+
+  def evFunnelBounded(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStagesBounded(Tables.events(spark, sfDir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), FunnelGapUs)
+      .select(col("user_id"), col("t0").as("ta"), col("t1").as("tb"),
+        col("t2").as("tc"))
+
+  def evFunnelBoundedSql: String =
+    funnelOracleSql(Seq("view", "click", "purchase"), Seq("ta", "tb", "tc"),
+      Some(FunnelGapUs))
+
   /** Min-join oracle for an n-stage funnel: stage CTE chain, each joining
     * the previous stage's first-qualifying time (exactly the definition
     * `funnelStages` computes in one exchange).
     */
-  def funnelOracleSql(stages: Seq[String], cols: Seq[String]): String = {
+  def funnelOracleSql(stages: Seq[String], cols: Seq[String],
+                      gapUs: Option[Long] = None): String = {
     val e = s"""e AS (
                |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
                |  FROM events WHERE event_type IN (${stages.map("'" + _ + "'").mkString(", ")}))"""
     val s0 = s"""s0 AS (SELECT user_id, min(ts_us) AS ${cols.head} FROM e
                 |      WHERE event_type = '${stages.head}' GROUP BY user_id)"""
     val rest = stages.indices.drop(1).map { i =>
+      val bound = gapUs.map(g => s" AND ts_us <= ${cols(i - 1)} + $g").getOrElse("")
       s"""s$i AS (SELECT e.user_id, min(ts_us) AS ${cols(i)} FROM e JOIN s${i - 1} USING (user_id)
-         |      WHERE event_type = '${stages(i)}' AND ts_us > ${cols(i - 1)} GROUP BY e.user_id)"""
+         |      WHERE event_type = '${stages(i)}' AND ts_us > ${cols(i - 1)}$bound GROUP BY e.user_id)"""
     }
     val joins = stages.indices.drop(1).map(i => s"LEFT JOIN s$i USING (user_id)")
     s"""WITH ${(Seq(e, s0) ++ rest).mkString(",\n")}

@@ -1318,6 +1318,45 @@ object VectorOps {
        |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
        |GROUP BY e.q_id""".stripMargin
 
+  /** Exact maximum-inner-product top-5 (MIPS) — the scoring form
+    * recommendation / retrieval rankers use when embeddings carry
+    * meaningful norms (cosine deliberately discards them). Same
+    * broadcast-queries / streaming-corpus / per-partition-window shape
+    * as [[embKnn]]; only the score changes (raw dot, no normalization).
+    * The classic norm-augmentation reduction (MIPS → cosine on a d+1
+    * space) matters when plugging MIPS into an LSH index — here the
+    * exact tier is the oracle-able baseline those variants re-rank
+    * against.
+    */
+  def embMipsKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.CosineSimilarity.registerDot(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("n_id").asc)
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dot", expr("dot_product(qv, cv)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("dot"), 6).as("dot"))
+  }
+
+  val embMipsKnnSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i])) AS dot
+       |  FROM s q JOIN s c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT q_id, rank, n_id, round(dot, 6) AS dot FROM (
+       |  SELECT q_id, n_id, dot,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
   // ───────────────────────────── PCA family ─────────────────────────────
 
   /** Population covariance matrix of the embedding corpus — the model-fit
