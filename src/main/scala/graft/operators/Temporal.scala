@@ -78,4 +78,88 @@ object Temporal {
       |      CASE WHEN event_type = 'purchase' THEN value END AS rv
       |    FROM events WHERE event_type IN ('error', 'purchase')))
       |WHERE is_right = 0""".stripMargin
+
+  /** Time-series cross-correlation screening: Pearson correlation between
+    * every pair of users' daily value series over their SHARED days —
+    * the all-pairs similarity scan a time-series search system runs
+    * before (or instead of) an index (cf. streaming TS similarity
+    * search, EDBT 2019). Emits pairs with enough overlap to be
+    * meaningful (`minDays`) and |corr| above the screen threshold.
+    *
+    * Determinism recipe: values quantize to integer MILLI-units PER
+    * EVENT (exact — the generator emits 2-decimal values; before any
+    * sum), so every sufficient statistic (n, Σx, Σy, Σx², Σy², Σxy) is
+    * a fold-order-free BIGINT (milli-grid keeps Σx² ≤ ~2e12 here, with
+    * ~6 orders of BIGINT headroom at any realistic series length); the
+    * closed-form corr then runs identical correctly-rounded IEEE ops in
+    * both engines — no rounding step, no half-tie hazard. Zero-variance
+    * series are excluded by an explicit positive-variance guard (the
+    * 0/0 and x/0 corr rows are undefined, and ±Inf would pass an
+    * |corr| screen).
+    *
+    * Scale shape: the day-keyed self-join fans out as (users active that
+    * day)² per day — the EXACT tier. Its exchange carries slim
+    * (user, day, vq) rows and the pair statistics fold map-side into
+    * one (ua, ub) aggregate, so memory is bounded by distinct pairs,
+    * not series length. At 100 TB user counts the exact tier is the
+    * oracle/refine stage behind a candidate screen (JL sign-sketch of
+    * the day-vector, the [[VectorOps.embRp]] recipe keyed on day
+    * buckets) — same two-tier contract as the dedup families.
+    */
+  def evTsCorr(spark: SparkSession, sfDir: String): DataFrame =
+    evTsCorr(spark, sfDir, minDays = 10, minAbsCorr = 0.2)
+
+  def evTsCorr(spark: SparkSession, sfDir: String,
+               minDays: Int, minAbsCorr: Double): DataFrame = {
+    val daily = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), // ns → day (integer div)
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("vq")).as("v"))
+    val a = daily.select(col("user_id").as("ua"), col("day"), col("v").as("x"))
+    val b = daily.select(col("user_id").as("ub"), col("day"), col("v").as("y"))
+    a.join(b, Seq("day")).filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= minDays)
+      .withColumn("vx", expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("vy", expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .withColumn("corr", expr(
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(vx) * sqrt(vy))"""
+          .stripMargin))
+      .filter(abs(col("corr")) >= minAbsCorr)
+      .select(col("ua"), col("ub"), col("n"), col("corr"))
+  }
+
+  val evTsCorrSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    sum(CAST(round(value * 1000) AS BIGINT)) AS v
+      |  FROM events GROUP BY user_id, day),
+      |p AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n,
+      |    sum(a.v) AS sx, sum(b.v) AS sy,
+      |    sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy,
+      |    sum(a.v * b.v) AS sxy
+      |  FROM daily a JOIN daily b ON a.day = b.day AND a.user_id < b.user_id
+      |  GROUP BY ua, ub),
+      |g AS (
+      |  SELECT ua, ub, n, sxy, sx, sy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM p WHERE n >= 10),
+      |c AS (
+      |  SELECT ua, ub, n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(vx) * sqrt(vy)) AS corr
+      |  FROM g WHERE vx > 0 AND vy > 0)
+      |SELECT ua, ub, n, corr FROM c
+      |WHERE abs(corr) >= 0.2""".stripMargin
 }
