@@ -566,8 +566,12 @@ object DedupOps {
             coalesce(col("jc"), col("cluster_id")).as("cluster_id"), col("old"))
       }).localCheckpoint(false) // lazy: the convergence count below is the
                                 // action that materializes this round
+      // coalesce: an EMPTY edge set (a corpus with no near-dup pairs at
+      // all — legitimately reachable, e.g. phash clustering at tiny SF)
+      // makes sum() null; treat as converged instead of NPE-ing
       val changed = next
-        .agg(sum((col("cluster_id") =!= col("old")).cast("long"))).first().getLong(0)
+        .agg(coalesce(sum((col("cluster_id") =!= col("old")).cast("long")), lit(0L)))
+        .first().getLong(0)
       labels = next.select(col("v"), col("cluster_id"))
       converged = changed == 0
       iter += 1

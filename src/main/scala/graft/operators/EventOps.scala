@@ -570,6 +570,101 @@ object EventOps {
         (col("rn") - col("anchor.rn") - 1).cast("long").as("n_clicks"))
   }
 
+  /** A/B experiment readout — Welch's unequal-variance t-test per metric
+    * (here: `value` per event_type), plus the sample-ratio-mismatch
+    * chi-square guard every experimentation platform runs before trusting
+    * the t-stat. Variant assignment is the deterministic user-id parity
+    * (production swaps in a salted-hash bucketing; the aggregation is
+    * identical).
+    *
+    * Scale shape: ONE slim groupBy exchange carrying six integer moments
+    * per (event_type) — conditional aggregation folds both variants into
+    * the same pass, so adding a variant never adds a scan. All moments
+    * are exact BIGINTs on the milli-quantized value grid (fold-order-free
+    * under any partitioning — the [[Temporal.evTsCorr]] / `emb_cov`
+    * recipe; headroom: |vq| ≤ 1e6 ⇒ Σvq² fits BIGINT to ~9e6 rows per
+    * group per 1e12, i.e. beyond sf1); the t/df/χ² finalization is a
+    * fixed sequence of correctly-rounded IEEE ops both engines execute
+    * identically, so the doubles hash bit-identically with no rounding
+    * step.
+    */
+  def evAbStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("user_id") % 2).cast(IntegerType).as("variant"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+    e.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("vq")).otherwise(0L)).as("s_a"),
+        sum(when(col("variant") === 1, col("vq")).otherwise(0L)).as("s_b"),
+        sum(when(col("variant") === 0, col("vq") * col("vq")).otherwise(0L)).as("ss_a"),
+        sum(when(col("variant") === 1, col("vq") * col("vq")).otherwise(0L)).as("ss_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("ma", expr("CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+      .withColumn("mb", expr("CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+      .withColumn("va", expr(
+        """(CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+          |  - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+          |/ (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))""".stripMargin))
+      .withColumn("vb", expr(
+        """(CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+          |  - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+          |/ (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))""".stripMargin))
+      .withColumn("sea", expr("va / CAST(n_a AS DOUBLE)"))
+      .withColumn("seb", expr("vb / CAST(n_b AS DOUBLE)"))
+      .withColumn("se2", col("sea") + col("seb"))
+      .filter(col("se2") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("ma / 1000.0").as("mean_a"),
+        expr("mb / 1000.0").as("mean_b"),
+        expr("(ma - mb) / sqrt(se2)").as("t_stat"),
+        expr("""se2 * se2 / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                |            + seb * seb / CAST(n_b - 1 AS DOUBLE))""".stripMargin)
+          .as("welch_df"),
+        expr("""CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                |  / CAST(n_a + n_b AS DOUBLE)""".stripMargin).as("srm_chi2"))
+  }
+
+  val evAbStatsSql: String =
+    """WITH q AS (
+      |  SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+      |    CAST(round(value * 1000) AS BIGINT) AS vq
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN vq ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN vq ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN vq * vq ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN vq * vq ELSE 0 END) AS BIGINT) AS ss_b
+      |  FROM q GROUP BY event_type),
+      |m AS (
+      |  SELECT *,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+      |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+      |    (CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+      |      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
+      |    (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+      |      - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+      |    / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
+      |  FROM g WHERE n_a > 1 AND n_b > 1),
+      |s AS (
+      |  SELECT *, va / CAST(n_a AS DOUBLE) AS sea, vb / CAST(n_b AS DOUBLE) AS seb,
+      |    va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+      |  FROM m)
+      |SELECT event_type, n_a, n_b,
+      |  ma / 1000.0 AS mean_a, mb / 1000.0 AS mean_b,
+      |  (ma - mb) / sqrt(se2) AS t_stat,
+      |  se2 * se2 / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+      |              + seb * seb / CAST(n_b - 1 AS DOUBLE)) AS welch_df,
+      |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) AS srm_chi2
+      |FROM s WHERE se2 > 0""".stripMargin
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -253,6 +253,53 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Image duplicate CLUSTERS: connected components over the perceptual-
+    * hash near-dup pairs — the grouping step that turns pairwise image
+    * similarity into one canonical representative per visual family
+    * (crops/re-encodes of one source image land in one cluster, exactly
+    * like the text-side [[DedupOps.dedupClusters]] over MinHash pairs).
+    *
+    * Scale shape = the parts: the pair generator is the banded Hamming
+    * equijoin above (payloads never ride the exchange), and the CC
+    * fixpoint is [[DedupOps.connectedComponents]]'s O(log diameter)
+    * pointer-jumping loop over id-only edges.
+    *
+    * The edge threshold is the CLUSTERING policy knob and is deliberately
+    * looser than the near-dup emit threshold (16 vs 7 bits): grouping
+    * tolerates more visual drift than pair reporting, and band-candidate
+    * parity between engines holds at any cutoff (the oracle replicates
+    * the banding, so both sides see the identical edge set).
+    */
+  def mmPhashCluster(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.connectedComponents(
+      mmPhashNeardupOf(Tables.documents(spark, sfDir),
+        maxBucket = 64, maxHamming = 16).select(col("a_id"), col("b_id")))
+
+  val mmPhashClusterSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+       |bands AS (
+       |  SELECT doc_id, b.band, (phash >> (b.band * 8)) & 255 AS bv
+       |  FROM ph, (SELECT unnest(range(0, 8)) AS band) b),
+       |kept AS (
+       |  SELECT doc_id, band, bv FROM (
+       |    SELECT doc_id, band, bv, count(*) OVER (PARTITION BY band, bv) AS df
+       |    FROM bands) WHERE df <= 64),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c JOIN ph x ON c.a_id = x.doc_id JOIN ph y ON c.b_id = y.doc_id
+       |  WHERE bit_count(xor(x.phash, y.phash)) <= 16),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+       |SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v""".stripMargin
+
   // (phash >> s) & 255 is shift-semantics-proof: arithmetic vs logical
   // shift differ only in bits the mask drops (s + 7 <= 63 for every band)
   val mmPhashNeardupSql: String =

@@ -1008,4 +1008,89 @@ object TextOps {
         |FROM dsir
         |ORDER BY gkey DESC, doc_id
         |LIMIT 100""".stripMargin
+
+  /** Spark-SQL string literal for an [a-z0-9]-alphabet symbol (the only
+    * alphabet [[normText]] emits) — escaped anyway for safety.
+    */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Distributed BPE TRAINING — learn the first `merges` byte-pair merges
+    * from corpus statistics (the other half of the tokenizer story:
+    * [[docTokBpe]] applies a tokenizer; this one is how the tokenizer is
+    * fit on the corpus in the first place, the Sennrich et al. 2016
+    * algorithm every GPT/Llama vocab build runs).
+    *
+    * Each round: count adjacent symbol pairs over the DISTINCT-WORD table
+    * (occurrences weighted by word frequency, overlapping positions
+    * counted, exactly the reference algorithm), take the arg-max pair
+    * (total tie order: count desc, left asc, right asc — deterministic on
+    * any engine), and rewrite each word's symbol sequence by the greedy
+    * leftmost non-overlapping fold.
+    *
+    * Scale shape: the corpus is touched ONCE (word-count groupBy); every
+    * round after that runs on the distinct-word table, which Heaps' law
+    * bounds orders of magnitude below corpus size (~10M rows at 100 TB vs
+    * 10¹¹ docs). Per round: one explode+groupBy carrying slim
+    * (l, r, partial-count) rows with map-side combine, one
+    * TakeOrderedAndProject returning exactly ONE row to the driver (the
+    * merge decision — the only driver-side state, `merges` rows total),
+    * and a per-row fold rewrite with the plan re-checkpointed so lineage
+    * stays O(1) per round ([[DedupOps.connectedComponents]] discipline).
+    * No step is ever corpus-sized after the first scan.
+    */
+  def docBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    docBpeTrain(spark, sfDir, merges = 8)
+
+  def docBpeTrain(spark: SparkSession, sfDir: String, merges: Int): DataFrame =
+    docBpeTrainOf(Tables.documents(spark, sfDir), merges)
+
+  /** Core over any frame with a `text` column — [[docChunkOf]] pattern. */
+  def docBpeTrainOf(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(expr("split(w, '')").as("seq"), col("wc"))
+      .localCheckpoint(false)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val top = cur
+        .filter(size(col("seq")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(0, size(seq) - 2), i ->
+            |  struct(element_at(seq, i + 1) AS l, element_at(seq, i + 2) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect() // exactly one row — the merge decision, never data
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank, l, r, l + r, cnt))
+        cur = cur.select(expr(
+          s"""aggregate(seq, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+             |  IF(size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
+             |       AND x = ${sqlLit(r)},
+             |     concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(l + r)})),
+             |     concat(acc, array(x))))""".stripMargin).as("seq"), col("wc"))
+          .localCheckpoint(false)
+        rank += 1
+      }
+    }
+    graft.CacheScope.trackCheckpoints(cur)
+    learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+  }
+  // doc_bpe_train oracle: DuckDB SQL cannot express the data-dependent
+  // iterative merge loop; tools/compare.py carries a from-scratch Python
+  // reference (PY_ORACLES) and BpeTrainSpec pins known-corpus merges +
+  // the max-pair-count monotonicity invariant. Driver gate: rows-only.
 }

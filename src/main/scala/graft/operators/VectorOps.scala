@@ -1357,6 +1357,94 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
 
+  /** Exact cosine RANGE search (FAISS `range_search`): every corpus
+    * neighbor of each query with similarity ≥ `radius`, not a fixed k —
+    * the retrieval form dedup thresholds and "find everything this
+    * similar" audits need (top-k under-returns in dense regions and
+    * pads with noise in sparse ones).
+    *
+    * Same scale shape as [[embKnn]]: the bounded query set broadcasts,
+    * the corpus STREAMS through the similarity filter — no shuffle at
+    * all (unlike top-k there is no window/rank, so the plan is scan →
+    * broadcast-hash-join → filter, entirely pipelined in one codegen
+    * stage per task). For corpus×corpus radius search use the bucketed
+    * [[embNeardupLsh]]/[[embNeardupMultiprobe]] family instead.
+    */
+  def embRangeSearch(spark: SparkSession, sfDir: String): DataFrame =
+    embRangeSearch(spark, sfDir, radius = 0.3)
+
+  def embRangeSearch(spark: SparkSession, sfDir: String, radius: Double): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .filter(col("cos") >= radius)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val embRangeSearchSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i]))) AS nrm
+       |  FROM s)
+       |SELECT q_id, n_id, round(cos, 6) AS cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |WHERE cos >= 0.3""".stripMargin
+
+  /** Distance-based outlier detection over the embedding corpus: train
+    * k-means ([[lloyd]]), assign every vector to its nearest FINAL
+    * centroid, and flag vectors whose best-centroid cosine falls below
+    * `maxCos` — the cluster-distance outlier filter data-curation
+    * pipelines run to drop off-manifold embeddings (garbled decodes,
+    * wrong-modality rows) before dedup/sampling, and the same quantity
+    * FAISS users read as quantizer residual.
+    *
+    * Scale shape: the k·d centroid table broadcasts (corpus-size-
+    * independent); the corpus streams once through assign + filter —
+    * the only exchange is inside the k-means fit, whose per-round
+    * shuffle carries k·d rounded partial means, not vectors.
+    */
+  def embOutlier(spark: SparkSession, sfDir: String): DataFrame =
+    embOutlier(spark, sfDir, k = 8, iters = 2, maxCos = 0.2)
+
+  def embOutlier(spark: SparkSession, sfDir: String,
+                 k: Int, iters: Int, maxCos: Double): DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
+    val cent = lloyd(e, k, iters)._1
+      .select(col("c_id"), col("cv")).transform(CacheScope.barrier)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    e.join(broadcast(cent), lit(true))
+      .withColumn("cos", expr("cosine_sim(v, cv)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cos") < maxCos)
+      .select(col("vec_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val embOutlierSql: String =
+    s"""WITH ${kmeansCtes(k = 8, iters = 2)},
+       |assign AS (
+       |  SELECT vec_id, c_id, cos FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |      ${kmeansCosSql("n.v", "n.vn", "c.cv")} AS cos,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${kmeansCosSql("n.v", "n.vn", "c.cv")} DESC, c.c_id ASC) AS rn
+       |    FROM n, c2 c)
+       |  WHERE rn = 1)
+       |SELECT vec_id, c_id, round(cos, 6) AS cos
+       |FROM assign WHERE cos < 0.2""".stripMargin
+
   // ───────────────────────────── PCA family ─────────────────────────────
 
   /** Population covariance matrix of the embedding corpus — the model-fit

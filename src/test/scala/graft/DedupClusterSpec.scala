@@ -100,4 +100,13 @@ class DedupClusterSpec extends SparkSpec {
     val bound = 3 + math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 3
     assert(rounds <= bound, s"took $rounds rounds, bound is $bound (diameter $d)")
   }
+
+  test("connectedComponents on an EMPTY pair set returns empty (no NPE)") {
+    // a corpus with zero near-dup pairs is legitimately reachable (e.g.
+    // phash clustering at tiny SF) — the convergence count must coalesce
+    // the null sum instead of crashing
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupOps.connectedComponents(empty).count() == 0)
+  }
 }

@@ -62,4 +62,23 @@ class MmPhashSpec extends SparkSpec {
     info(s"${found.size}/40 edit pairs found; hamming histogram: " +
       found.values.groupBy(identity).view.mapValues(_.size).toSeq.sorted.mkString(", "))
   }
+
+  test("mm_phash_cluster labels are consistent with the pair graph") {
+    val sfDir = sf
+    val pairs = Multimodal.mmPhashNeardupOf(Tables.documents(spark, sfDir),
+        maxBucket = 64, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Multimodal.mmPhashCluster(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty, "calibration drift: no 16-bit pairs at sf0.01")
+    // every edge endpoint is labeled, endpoints agree, and each label is
+    // the minimum member id of its cluster (the CC canonical-form contract)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a, $b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid label is not the min member")
+    }
+    info(s"${pairs.length} edges -> ${labels.values.toSet.size} clusters over ${labels.size} docs")
+  }
 }

@@ -182,7 +182,11 @@ class PlanSpec extends SparkSpec {
       "emb_bq_knn", // 1-row dim-stats broadcast + query-bits broadcast, like emb_sq8_knn
       "emb_bq_recall", // composes emb_knn + emb_bq_knn (both allowlisted)
       "doc_ccnet_buckets", // composes doc_lm_score (1-row vocab broadcast)
-      "emb_ivf_pq") // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
+      "emb_ivf_pq", // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
+      "emb_cov", // 1-row corpus-count broadcast (same pattern as doc_tfidf_top)
+      "emb_mips_knn", // query-side broadcast vs inequality, like emb_knn
+      "emb_range_search", // query-side broadcast vs inequality, like emb_knn
+      "emb_outlier") // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -753,5 +757,17 @@ class PlanSpec extends SparkSpec {
       }
       assert(bcasts.size >= 3, s"dim sums ×2 + n should broadcast, saw ${bcasts.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ev_ab_stats: both variants fold into ONE slim moment exchange") {
+    // conditional aggregation = one pass; adding a variant never adds a
+    // scan or a shuffle — the whole point of the six-integer-moment shape
+    assert(countExchanges("ev_ab_stats") == 1)
+  }
+
+  test("emb_range_search: broadcast-join + filter only — zero shuffles") {
+    // no top-k window -> no exchange at all; the corpus STREAMS through
+    // the similarity filter in one codegen stage per task
+    assert(countExchanges("emb_range_search") == 0)
   }
 }

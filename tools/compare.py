@@ -46,9 +46,53 @@ def oracle_doc_compress(con):
     return out
 
 
+def oracle_doc_bpe_train(con, merges=8):
+    """From-scratch Python reference for BPE merge learning (Sennrich 2016):
+    word counts over normText tokens, then per round count adjacent symbol
+    pairs (overlapping positions, weighted by word frequency), take the
+    (count desc, left asc, right asc) arg-max, and rewrite every word by
+    the greedy leftmost non-overlapping fold — the exact algorithm
+    TextOps.docBpeTrain distributes.
+    """
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for (text,) in con.execute("SELECT text FROM documents").fetchall():
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wc[w] += 1
+    vocab = [(list(w), c) for w, c in wc.items()]
+    out = []
+    for rank in range(1, merges + 1):
+        pc = Counter()
+        for seq, c in vocab:
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append({"rank": rank, "left": l, "right": r,
+                    "merged": l + r, "pair_count": cnt})
+
+        def apply(seq):
+            acc = []
+            for x in seq:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            return acc
+
+        vocab = [(apply(s), c) for s, c in vocab]
+    return out
+
+
 # Oracles computed in Python instead of DuckDB SQL (driver's gate records
 # these as rows-only; this replica closes the hash check locally).
-PY_ORACLES = {"doc_compress": oracle_doc_compress}
+PY_ORACLES = {"doc_compress": oracle_doc_compress,
+              "doc_bpe_train": oracle_doc_bpe_train}
 
 
 def canon(rows):
