@@ -97,21 +97,36 @@ object Temporal {
     * 0/0 and x/0 corr rows are undefined, and ±Inf would pass an
     * |corr| screen).
     *
-    * Scale shape: the day-keyed self-join fans out as (users active that
-    * day)² per day — the EXACT tier. Its exchange carries slim
-    * (user, day, vq) rows and the pair statistics fold map-side into
-    * one (ua, ub) aggregate, so memory is bounded by distinct pairs,
-    * not series length. At 100 TB user counts the exact tier is the
-    * oracle/refine stage behind a candidate screen (JL sign-sketch of
-    * the day-vector, the [[VectorOps.embRp]] recipe keyed on day
-    * buckets) — same two-tier contract as the dedup families.
+    * Scale shape: the screening UNIVERSE is bounded to the `topUsers`
+    * most-active series first (deterministic: event count desc, user_id
+    * asc — one slim groupBy + TakeOrderedAndProject, then a broadcast
+    * semi-join the full scan streams through). That bound is what makes
+    * the op a 100 TB citizen: cross-correlation screening is O(K²·D) BY
+    * CONSTRUCTION — K is the analyst's candidate-set size, never the
+    * population (an unbounded all-pairs over 10⁸ users is 10¹⁶ pairs at
+    * ANY engine speed; measured here, the unbounded default was 10.7 s
+    * at sf0.1 — the suite's slowest query — vs ~1 s bounded, purely from
+    * day-join fan-out). Within the universe, the day-keyed self-join's
+    * exchange carries slim (user, day, vq) rows and the pair statistics
+    * fold map-side into one (ua, ub) aggregate, so memory is bounded by
+    * distinct pairs, not series length. To widen recall beyond top-K at
+    * scale, the exact tier sits behind a candidate screen (JL
+    * sign-sketch of the day-vector, the [[VectorOps.embRp]] recipe) —
+    * same two-tier contract as the dedup families.
     */
   def evTsCorr(spark: SparkSession, sfDir: String): DataFrame =
-    evTsCorr(spark, sfDir, minDays = 10, minAbsCorr = 0.2)
+    evTsCorr(spark, sfDir, minDays = 10, minAbsCorr = 0.2, topUsers = 100)
 
   def evTsCorr(spark: SparkSession, sfDir: String,
-               minDays: Int, minAbsCorr: Double): DataFrame = {
-    val daily = graft.Tables.events(spark, sfDir)
+               minDays: Int, minAbsCorr: Double, topUsers: Int): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val universe = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .orderBy(col("n_ev").desc, col("user_id").asc)
+      .limit(topUsers)
+      .select(col("user_id"))
+    val daily = ev
+      .join(broadcast(universe), Seq("user_id"))
       .select(col("user_id"),
         expr("ts div 86400000000000").as("day"), // ns → day (integer div)
         expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
@@ -137,10 +152,13 @@ object Temporal {
   }
 
   val evTsCorrSql: String =
-    """WITH daily AS (
+    """WITH universe AS (
+      |  SELECT user_id FROM events GROUP BY user_id
+      |  ORDER BY count(*) DESC, user_id ASC LIMIT 100),
+      |daily AS (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
       |    sum(CAST(round(value * 1000) AS BIGINT)) AS v
-      |  FROM events GROUP BY user_id, day),
+      |  FROM events JOIN universe USING (user_id) GROUP BY user_id, day),
       |p AS (
       |  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n,
       |    sum(a.v) AS sx, sum(b.v) AS sy,
