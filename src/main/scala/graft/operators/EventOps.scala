@@ -570,6 +570,86 @@ object EventOps {
         (col("rn") - col("anchor.rn") - 1).cast("long").as("n_clicks"))
   }
 
+  /** RFM segmentation — the recency / frequency / monetary quintile
+    * scoring marketing and retention analytics run over an event log
+    * (score 5 = best: most recent, most frequent, highest spend; the
+    * classic 555/111 cell labels).
+    *
+    * Scale shape — deliberately NOT `ntile() OVER ()` (a single global
+    * doc-level window = one task at 100 TB): each dimension is an exact
+    * INTEGER (days, count, milli-sum), so quintiles run on the per-value
+    * HISTOGRAM instead (the [[TextOps.docCcnetBuckets]] recipe): a slim
+    * (value, cnt) aggregate per dimension, a window over DISTINCT values
+    * only, integer cutoff arithmetic `5 − (5·cum_better) div n` (no
+    * float thresholds to flip, ties share a score), and broadcast joins
+    * of the three (value → score) maps back onto the user table. One
+    * user-keyed exchange total; everything after is histogram-sized.
+    */
+  def evRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), // ns → day (integer div)
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("f"), sum(col("vq")).as("m"))
+    val scalars = users.agg(max(col("last_day")).as("gmax"),
+      count(lit(1)).as("n_users"))
+    val base = users.crossJoin(broadcast(scalars)) // 1-row scalar attach
+      .select(col("user_id"), (col("gmax") - col("last_day")).as("r_days"),
+        col("f"), col("m"), col("n_users"))
+      .transform(graft.CacheScope.barrier) // histograms + final join share it
+    // quintile score from the cumulative count of STRICTLY BETTER values
+    def scoreMap(dim: String, betterIsLower: Boolean): DataFrame = {
+      val ord = if (betterIsLower) col(dim).asc else col(dim).desc
+      base.groupBy(col(dim), col("n_users"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_better", coalesce(sum(col("cnt")).over(
+          Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(dim),
+          (lit(5) - expr("(5 * cum_better) div n_users"))
+            .cast(IntegerType).as(s"${dim.take(1)}_score"))
+    }
+    base
+      .join(broadcast(scoreMap("r_days", betterIsLower = true)), Seq("r_days"))
+      .join(broadcast(scoreMap("f", betterIsLower = false)), Seq("f"))
+      .join(broadcast(scoreMap("m", betterIsLower = false)), Seq("m"))
+      .select(col("user_id"), col("r_days"), col("f"),
+        expr("CAST(m AS DOUBLE) / 1000.0").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_cell"))
+  }
+
+  val evRfmSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 1000) AS BIGINT) AS vq
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, max(day) AS last_day, count(*) AS f,
+      |    CAST(sum(vq) AS BIGINT) AS m
+      |  FROM ev GROUP BY user_id),
+      |g AS (SELECT max(last_day) AS gmax, count(*) AS n_users FROM u),
+      |b AS (SELECT user_id, gmax - last_day AS r_days, f, m, n_users
+      |      FROM u CROSS JOIN g),
+      |rm AS (SELECT r_days, CAST(5 - (5 * coalesce(sum(cnt) OVER (
+      |    ORDER BY r_days ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+      |      // n_users AS INT) AS r_score
+      |  FROM (SELECT r_days, n_users, count(*) AS cnt FROM b GROUP BY 1, 2)),
+      |fm AS (SELECT f, CAST(5 - (5 * coalesce(sum(cnt) OVER (
+      |    ORDER BY f DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+      |      // n_users AS INT) AS f_score
+      |  FROM (SELECT f, n_users, count(*) AS cnt FROM b GROUP BY 1, 2)),
+      |mm AS (SELECT m, CAST(5 - (5 * coalesce(sum(cnt) OVER (
+      |    ORDER BY m DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+      |      // n_users AS INT) AS m_score
+      |  FROM (SELECT m, n_users, count(*) AS cnt FROM b GROUP BY 1, 2))
+      |SELECT b.user_id, b.r_days, b.f, CAST(b.m AS DOUBLE) / 1000.0 AS monetary,
+      |  rm.r_score, fm.f_score, mm.m_score,
+      |  rm.r_score * 100 + fm.f_score * 10 + mm.m_score AS rfm_cell
+      |FROM b JOIN rm USING (r_days) JOIN fm USING (f) JOIN mm USING (m)""".stripMargin
+
   /** A/B experiment readout — Welch's unequal-variance t-test per metric
     * (here: `value` per event_type), plus the sample-ratio-mismatch
     * chi-square guard every experimentation platform runs before trusting
@@ -588,8 +668,15 @@ object EventOps {
     * identically, so the doubles hash bit-identically with no rounding
     * step.
     */
-  def evAbStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+  def evAbStats(spark: SparkSession, sfDir: String): DataFrame =
+    evAbStatsOf(Tables.events(spark, sfDir))
+
+  /** Core over any (event_type, user_id, value) frame — [[MergeOps]]
+    * pattern; the streaming twin's batch-equivalence spec drives it with
+    * in-memory frames.
+    */
+  def evAbStatsOf(events: DataFrame): DataFrame = {
+    val e = events
       .select(col("event_type"),
         (col("user_id") % 2).cast(IntegerType).as("variant"),
         expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))

@@ -1055,6 +1055,11 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(expr("split(w, '')").as("seq"), col("wc"))
       .localCheckpoint(false)
+    // EVERY round's checkpoint registers with the scope (not just the
+    // final one): each round's collect materializes the current plan's
+    // checkpoint blocks, and an untracked intermediate would sit cached
+    // until an eventual GC (CacheHygieneSpec enforces this)
+    graft.CacheScope.trackCheckpoints(cur)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -1081,10 +1086,10 @@ object TextOps {
              |     concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(l + r)})),
              |     concat(acc, array(x))))""".stripMargin).as("seq"), col("wc"))
           .localCheckpoint(false)
+        graft.CacheScope.trackCheckpoints(cur)
         rank += 1
       }
     }
-    graft.CacheScope.trackCheckpoints(cur)
     learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         col("merged"), col("pair_count"))

@@ -186,7 +186,8 @@ class PlanSpec extends SparkSpec {
       "emb_cov", // 1-row corpus-count broadcast (same pattern as doc_tfidf_top)
       "emb_mips_knn", // query-side broadcast vs inequality, like emb_knn
       "emb_range_search", // query-side broadcast vs inequality, like emb_knn
-      "emb_outlier") // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
+      "emb_outlier", // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
+      "ev_rfm") // 1-row (gmax, n_users) scalar attach, like doc_tfidf_top
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
