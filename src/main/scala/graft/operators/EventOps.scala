@@ -570,6 +570,51 @@ object EventOps {
         (col("rn") - col("anchor.rn") - 1).cast("long").as("n_clicks"))
   }
 
+  /** Rolling engagement: DAU, trailing-7-day WAU, and DAU/WAU stickiness
+    * per day — the product-analytics daily board.
+    *
+    * Scale shape: sliding-window COUNT DISTINCT does not decompose, so
+    * the naive per-window formulations are a 7-way self-join or a global
+    * sort; instead each distinct (user, day) activation FANS OUT to the
+    * 7 window-end days it supports (slim explode, no join), and one
+    * distinct-aggregate per window-day counts it once no matter how many
+    * active days fall inside the window. Exchanges: the (user, day)
+    * distinct, then the two-phase distinct agg keyed (day, user) — both
+    * uniformly distributed; the fan-out factor is the window length,
+    * never data size. Leading days report their genuinely partial
+    * trailing windows (standard dashboard semantics).
+    */
+  def evWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("ts div 86400000000000").as("day")) // ns → day (integer div)
+      .distinct()
+      .transform(graft.CacheScope.barrier) // dau, wau, and bounds share it
+    val scalars = ud.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .crossJoin(broadcast(scalars)) // 1-row scalar attach (whitelisted shape)
+      .filter(col("day") <= col("dmax"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)").as("stickiness"))
+  }
+
+  val evWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (SELECT max(day) AS dmax FROM ud),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |wau AS (SELECT day + o AS day, count(DISTINCT user_id) AS wau
+      |        FROM ud, range(0, 7) t(o) GROUP BY 1)
+      |SELECT day, dau, CAST(wau AS BIGINT) AS wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (day) CROSS JOIN g
+      |WHERE day <= dmax""".stripMargin
+
   /** RFM segmentation — the recency / frequency / monetary quintile
     * scoring marketing and retention analytics run over an event log
     * (score 5 = best: most recent, most frequent, highest spend; the

@@ -271,9 +271,14 @@ object Multimodal {
     * the banding, so both sides see the identical edge set).
     */
   def mmPhashCluster(spark: SparkSession, sfDir: String): DataFrame =
-    DedupOps.connectedComponents(
-      mmPhashNeardupOf(Tables.documents(spark, sfDir),
-        maxBucket = 64, maxHamming = 16).select(col("a_id"), col("b_id")))
+    // memo, not barrier: the CC fixpoint is EAGER (driver loop) — a warm
+    // re-invocation in the same scope would re-run the whole loop; stage
+    // the label table once instead (the [[DedupOps.dedupClusters]] pattern)
+    CacheScope.memo(s"mm_phash_cluster:$sfDir") {
+      DedupOps.connectedComponents(
+        mmPhashNeardupOf(Tables.documents(spark, sfDir),
+          maxBucket = 64, maxHamming = 16).select(col("a_id"), col("b_id")))
+    }
 
   val mmPhashClusterSql: String =
     s"""WITH RECURSIVE $phashCtes,
