@@ -144,6 +144,56 @@ object CorpusPipeline {
        |FROM kept
        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** Per-source corpus report card — the monitoring panel a data-curation
+    * team reads before admitting a crawl source: volume (docs, tokens),
+    * shape (mean doc length), language spread, and exact-duplicate rate
+    * (share of docs whose normalized text appears more than once
+    * corpus-wide — the same digest as [[DedupOps.dedupExact]], so the
+    * rate agrees with what the dedup stage will actually drop).
+    *
+    * Scale shape: two slim exchanges — a count-over-digest window (16-byte
+    * digests + source labels, never the text) and the per-source fold.
+    * Token/char totals are fold-order-free BIGINTs; the one mean is a
+    * single IEEE division; the dup rate is integer basis points.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        md5(graft.functions.TextFns.normText(col("text"))).as("digest"))
+    d.withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy(col("digest"))) > 1).cast("long"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("is_dup")).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("avg_chars"),
+        col("n_langs"),
+        expr("10000L * n_dup div n_docs").as("dup_bps"))
+  }
+
+  val corpusStatsSql: String =
+    """WITH d AS (
+      |  SELECT source, lang, n_chars,
+      |    len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tok,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS digest
+      |  FROM documents),
+      |f AS (
+      |  SELECT *, CASE WHEN count(*) OVER (PARTITION BY digest) > 1
+      |                 THEN 1 ELSE 0 END AS is_dup
+      |  FROM d)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  (10000 * CAST(sum(is_dup) AS BIGINT)) // count(*) AS dup_bps
+      |FROM f GROUP BY source""".stripMargin
+
   val corpusPreparedSql: String =
     """WITH canon AS (
       |  SELECT min(doc_id) AS doc_id FROM documents

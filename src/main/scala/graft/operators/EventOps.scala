@@ -797,6 +797,262 @@ object EventOps {
       |    / CAST(n_a + n_b AS DOUBLE) AS srm_chi2
       |FROM s WHERE se2 > 0""".stripMargin
 
+  /** Cohort LTV curves — per signup-cohort week, the cumulative revenue
+    * per user at each week of age (the retention-revenue readout behind
+    * "does week-3 LTV cover acquisition cost"). Cohort = the user's first
+    * activity week; revenue = purchase values on the exact milli grid.
+    *
+    * Scale shape: two user-keyed aggregations (first-week min and
+    * per-(user, week) purchase sums) meet in a user-keyed equijoin — all
+    * slim rows, the event stream itself is touched once. The cumulative
+    * window runs over (cohort, age) — bounded by weeks², independent of
+    * corpus size — and the cohort-size table broadcasts back. Revenue
+    * sums are fold-order-free BIGINTs; the per-user division is one IEEE
+    * op both engines run identically.
+    */
+  def evLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("((ts div 1000) div 86400000000) div 7").as("wk"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("n_users"))
+    val uw = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("wk")).agg(sum(col("vq")).as("rev_q"))
+    val byAge = uw.join(cohort, Seq("user_id"))
+      .withColumn("age_wk", col("wk") - col("cohort_wk"))
+      .groupBy(col("cohort_wk"), col("age_wk")).agg(sum(col("rev_q")).as("wk_q"))
+    val wcum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.withColumn("cum_q", sum(col("wk_q")).over(wcum))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+        expr("CAST(wk_q AS DOUBLE) / 1000.0").as("week_rev"),
+        expr("CAST(cum_q AS DOUBLE) / (CAST(n_users AS DOUBLE) * 1000.0)")
+          .as("ltv"))
+  }
+
+  val evLtvSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_us(ts) // 86400000000) // 7 AS wk,
+      |    CAST(round(value * 1000) AS BIGINT) AS vq
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |s AS (SELECT cohort_wk, count(*) AS n_users FROM c GROUP BY cohort_wk),
+      |uw AS (
+      |  SELECT user_id, wk, CAST(sum(vq) AS BIGINT) AS rev_q
+      |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, wk),
+      |a AS (
+      |  SELECT c.cohort_wk, uw.wk - c.cohort_wk AS age_wk,
+      |    CAST(sum(rev_q) AS BIGINT) AS wk_q
+      |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT a.cohort_wk, a.age_wk, s.n_users,
+      |  CAST(wk_q AS DOUBLE) / 1000.0 AS week_rev,
+      |  CAST(sum(wk_q) OVER (PARTITION BY a.cohort_wk ORDER BY a.age_wk
+      |        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / (CAST(s.n_users AS DOUBLE) * 1000.0) AS ltv
+      |FROM a JOIN s USING (cohort_wk)""".stripMargin
+
+  /** Seasonal-naive forecast backtest — forecast each day's per-type value
+    * total as the SAME WEEKDAY one week earlier, and score the forecast
+    * with MAE and WAPE per event type. The standard baseline every
+    * forecasting system must beat (and the cheapest drift alarm: WAPE
+    * jumping week-over-week means the metric's weekly shape broke).
+    *
+    * Scale shape: the event stream collapses to a (type, day) daily
+    * aggregate in one slim exchange; the lag-7 pairing is an equijoin of
+    * that tiny table against itself shifted by seven days (join, not a
+    * window lag — gap days pair correctly or drop out instead of lagging
+    * to the wrong weekday). Error sums are exact BIGINTs on the milli
+    * grid; MAE/WAPE are single IEEE divisions of exact totals.
+    */
+  def evForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("d"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("vq")).as("yq"))
+    val prev = daily.select(col("event_type"),
+      (col("d") + lit(7)).as("d"), col("yq").as("pq"))
+    daily.join(prev, Seq("event_type", "d"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("yq") - col("pq"))).as("ae_q"),
+        sum(col("yq")).as("tot_q"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(ae_q AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1000.0)")
+          .as("mae"),
+        expr("CAST(ae_q AS DOUBLE) / CAST(tot_q AS DOUBLE)").as("wape"))
+  }
+
+  val evForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 86400000000 AS d,
+      |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS yq
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT cur.event_type, cur.yq, prev.yq AS pq
+      |  FROM daily cur JOIN daily prev
+      |    ON cur.event_type = prev.event_type AND cur.d = prev.d + 7),
+      |g AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(abs(yq - pq)) AS BIGINT) AS ae_q,
+      |    CAST(sum(yq) AS BIGINT) AS tot_q
+      |  FROM j GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  CAST(ae_q AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1000.0) AS mae,
+      |  CAST(ae_q AS DOUBLE) / CAST(tot_q AS DOUBLE) AS wape
+      |FROM g""".stripMargin
+
+  /** CUPED variance-reduced A/B readout — the standard experimentation
+    * upgrade over [[evAbStats]]: each user's PRE-period activity (first
+    * half of the window, before any treatment) is a covariate X for their
+    * experiment-period metric Y; regressing Y on X pooled across arms
+    * (θ = Cov(X,Y)/Var(X)) and testing Y − θX instead of Y removes the
+    * between-user variance X explains, shrinking confidence intervals
+    * with zero bias (Deng et al., WSDM'13). `var_red` reports the
+    * achieved reduction (= pooled corr²(X,Y)).
+    *
+    * Scale shape: one (event_type, user) exchange folds both periods in a
+    * single conditional pass (pre → X, post → Y), then one slim
+    * per-event_type exchange carries eleven exact BIGINT moments per arm
+    * — the [[evAbStats]] recipe with X⊗Y cross-moments added. Overflow
+    * headroom: per-user period sums ≤ ~1e7 milli ⇒ Σx², Σxy ≤ ~1e17 per
+    * group at sf1 — inside BIGINT. θ and the Welch t on the adjusted
+    * metric are a fixed sequence of correctly-rounded IEEE ops both
+    * engines execute identically — no rounding step.
+    */
+  def evAbCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, epoch micros
+    val u = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).cast(IntegerType).as("variant"),
+        expr(s"IF(ts div 1000 < ${cutUs}L, CAST(round(value * 1000) AS BIGINT), 0L)").as("xq"),
+        expr(s"IF(ts div 1000 >= ${cutUs}L, CAST(round(value * 1000) AS BIGINT), 0L)").as("yq"))
+      .groupBy(col("event_type"), col("user_id"), col("variant"))
+      .agg(sum(col("xq")).as("x"), sum(col("yq")).as("y"))
+    def arm(v: Int, e: Column): Column = sum(when(col("variant") === v, e).otherwise(0L))
+    u.groupBy(col("event_type")).agg(
+        arm(0, lit(1L)).as("n_a"), arm(1, lit(1L)).as("n_b"),
+        arm(0, col("x")).as("sx_a"), arm(1, col("x")).as("sx_b"),
+        arm(0, col("y")).as("sy_a"), arm(1, col("y")).as("sy_b"),
+        arm(0, col("x") * col("x")).as("sxx_a"), arm(1, col("x") * col("x")).as("sxx_b"),
+        arm(0, col("y") * col("y")).as("syy_a"), arm(1, col("y") * col("y")).as("syy_b"),
+        arm(0, col("x") * col("y")).as("sxy_a"), arm(1, col("x") * col("y")).as("sxy_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("n", expr("CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("sx", expr("CAST(sx_a + sx_b AS DOUBLE)"))
+      .withColumn("sy", expr("CAST(sy_a + sy_b AS DOUBLE)"))
+      .withColumn("thn", expr(
+        "n * CAST(sxy_a + sxy_b AS DOUBLE) - sx * sy"))
+      .withColumn("thd", expr(
+        "n * CAST(sxx_a + sxx_b AS DOUBLE) - sx * sx"))
+      .withColumn("syyd", expr(
+        "n * CAST(syy_a + syy_b AS DOUBLE) - sy * sy"))
+      .filter(col("thd") > 0 && col("syyd") > 0)
+      .withColumn("theta", expr("thn / thd"))
+      .withColumn("aa", expr(
+        """CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |  - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - sx / n)"""
+          .stripMargin))
+      .withColumn("ab", expr(
+        """CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+          |  - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - sx / n)"""
+          .stripMargin))
+      .withColumn("va", expr(
+        """(CAST(n_a AS DOUBLE) * CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE))
+          |  / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+          |- 2.0 * theta * (CAST(n_a AS DOUBLE) * CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE))
+          |  / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+          |+ theta * theta * (CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+          |  / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))""".stripMargin))
+      .withColumn("vb", expr(
+        """(CAST(n_b AS DOUBLE) * CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE))
+          |  / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+          |- 2.0 * theta * (CAST(n_b AS DOUBLE) * CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE))
+          |  / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+          |+ theta * theta * (CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+          |  / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))""".stripMargin))
+      .withColumn("se2", expr(
+        "va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)"))
+      .filter(col("se2") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("theta"),
+        expr("aa / 1000.0").as("mean_a_adj"),
+        expr("ab / 1000.0").as("mean_b_adj"),
+        expr("(aa - ab) / sqrt(se2)").as("t_cuped"),
+        expr("thn * thn / (thd * syyd)").as("var_red"))
+  }
+
+  val evAbCupedSql: String =
+    """WITH q AS (
+      |  SELECT event_type, user_id, CAST(user_id % 2 AS INT) AS variant,
+      |    CASE WHEN epoch_us(ts) < 1705363200000000
+      |         THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END AS xq,
+      |    CASE WHEN epoch_us(ts) >= 1705363200000000
+      |         THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END AS yq
+      |  FROM events),
+      |u AS (
+      |  SELECT event_type, user_id, variant,
+      |    CAST(sum(xq) AS BIGINT) AS x, CAST(sum(yq) AS BIGINT) AS y
+      |  FROM q GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_b
+      |  FROM u GROUP BY event_type),
+      |m AS (
+      |  SELECT *,
+      |    CAST(n_a + n_b AS DOUBLE) AS n,
+      |    CAST(sx_a + sx_b AS DOUBLE) AS sx,
+      |    CAST(sy_a + sy_b AS DOUBLE) AS sy
+      |  FROM g WHERE n_a > 1 AND n_b > 1),
+      |t AS (
+      |  SELECT *,
+      |    n * CAST(sxy_a + sxy_b AS DOUBLE) - sx * sy AS thn,
+      |    n * CAST(sxx_a + sxx_b AS DOUBLE) - sx * sx AS thd,
+      |    n * CAST(syy_a + syy_b AS DOUBLE) - sy * sy AS syyd
+      |  FROM m),
+      |h AS (SELECT *, thn / thd AS theta FROM t WHERE thd > 0 AND syyd > 0),
+      |adj AS (
+      |  SELECT *,
+      |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - sx / n) AS aa,
+      |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - sx / n) AS ab,
+      |    (CAST(n_a AS DOUBLE) * CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+      |    - 2.0 * theta * (CAST(n_a AS DOUBLE) * CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sy_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+      |    + theta * theta * (CAST(n_a AS DOUBLE) * CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
+      |    (CAST(n_b AS DOUBLE) * CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+      |    - 2.0 * theta * (CAST(n_b AS DOUBLE) * CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sy_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+      |    + theta * theta * (CAST(n_b AS DOUBLE) * CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
+      |  FROM h),
+      |f AS (
+      |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+      |  FROM adj)
+      |SELECT event_type, n_a, n_b, theta,
+      |  aa / 1000.0 AS mean_a_adj, ab / 1000.0 AS mean_b_adj,
+      |  (aa - ab) / sqrt(se2) AS t_cuped,
+      |  thn * thn / (thd * syyd) AS var_red
+      |FROM f WHERE se2 > 0""".stripMargin
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

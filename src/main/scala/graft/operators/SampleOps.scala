@@ -246,4 +246,99 @@ object SampleOps {
     """SELECT row_number() OVER (ORDER BY md5(doc_id || ':shuf-v1'), doc_id) AS pos,
       |  doc_id, lang
       |FROM documents""".stripMargin
+
+  /** Leakage-safe train/val/test split: hash-assign each NEAR-DUP CLUSTER
+    * (not each doc) to a split, so a document and its near-duplicates can
+    * never straddle the train/eval boundary — the failure mode that makes
+    * held-out perplexity a lie ([[docSplit]] splits per-doc and has
+    * exactly this leak when run before dedup). A doc's split key is its
+    * cluster representative from [[DedupOps.dedupClusters]] (MinHash-LSH
+    * components at Jaccard ≥ 0.5); singleton docs (no near-dup edge — the
+    * overwhelming majority) key on their own id.
+    *
+    * Scale shape: the cluster label table only holds docs WITH a near-dup
+    * edge (≪ corpus), so it broadcasts into a left join and the corpus
+    * never shuffles; the split assignment itself is a scan-fused hash
+    * projection, exactly like [[docSplit]].
+    */
+  def docSplitSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = DedupOps.dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        expr(s"${h32Sql("concat('ssplit|', cast(rep_id as string))")} % 100"))
+      .select(col("doc_id"), col("lang"), col("rep_id"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val docSplitSafeSql: String =
+    s"""WITH RECURSIVE pairs AS (${DedupOps.minhashLshPairsSql}),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jacc >= 0.5
+       |          UNION ALL SELECT b_id, a_id FROM pairs WHERE jacc >= 0.5),
+       |reach(v, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+       |labels AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |rep AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(labels.cluster_id, d.doc_id) AS rep_id
+       |  FROM documents d LEFT JOIN labels ON d.doc_id = labels.doc_id)
+       |SELECT doc_id, lang, rep_id,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT *,
+       |        ('0x' || substr(md5('ssplit|' || rep_id), 1, 8))::BIGINT % 100 AS bucket
+       |      FROM rep)""".stripMargin
+
+  /** First-fit-decreasing sequence packing — the padding-minimizing
+    * alternative to [[docPack]]'s concat-and-chunk: documents are NOT
+    * split across training sequences; instead each shard's docs are
+    * sorted longest-first and first-fit packed into `Capacity`-token
+    * bins (FFD uses ≤ 11/9·OPT + 1 bins — near-optimal padding waste
+    * without a solver). Oversized docs get a bin of their own (the
+    * loader truncates). This is the packing mode used when sequences
+    * must hold whole documents (no cross-doc attention contamination).
+    *
+    * Scale shape: packing is inherently sequential WITHIN a bin stream,
+    * so the corpus is hash-sharded and each shard packs independently —
+    * the exchange carries only (doc_id, n_tok) pairs, never text, and
+    * shard count scales with the corpus (fixed here for oracle
+    * determinism). Per-shard state is the open-bin fill array — bounded
+    * by shard token mass / Capacity. The same algorithm is the oracle:
+    * a from-scratch Python FFD in tools/compare.py (no SQL twin — FFD's
+    * loop is not expressible in DuckDB SQL; driver gate records
+    * rows-only, the local replica closes the hash, and SampleOpsSpec
+    * pins fill bounds, determinism, and a hand-packed example).
+    */
+  val FfdShards = 32
+
+  def docPackFfd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = Capacity
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        expr(s"${h32Sql("concat('ffd|', cast(doc_id as string))")} % $FfdShards")
+          .as("shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val items = it.map(t => (t._1, t._2)).toArray
+          .sortBy { case (id, n) => (-n, id) } // FFD: longest first, id ties
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, n) =>
+          val i = fills.indexWhere(_ + n <= cap)
+          val bin = if (i >= 0) { fills(i) += n; i }
+            else { fills += n; fills.length - 1 } // oversize ⇒ own bin
+          (id, shard, bin.toLong, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tok")
+  }
 }

@@ -89,10 +89,45 @@ def oracle_doc_bpe_train(con, merges=8):
     return out
 
 
+def oracle_doc_pack_ffd(con, cap=2048, shards=32):
+    """From-scratch Python reference for first-fit-decreasing sequence
+    packing — the exact algorithm SampleOps.docPackFfd distributes: shard
+    by md5('ffd|'+doc_id) % shards, sort each shard (n_tok desc, doc_id
+    asc), first-fit into cap-token bins (oversize docs open a bin of
+    their own and nothing else joins them).
+    """
+    import hashlib
+    import re
+
+    per_shard = {}
+    for did, text in con.execute("SELECT doc_id, text FROM documents").fetchall():
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        n_tok = len(norm.split(" "))
+        h = int(hashlib.md5(f"ffd|{did}".encode()).hexdigest()[:8], 16)
+        per_shard.setdefault(h % shards, []).append((did, n_tok))
+    out = []
+    for shard, items in per_shard.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        fills = []
+        for did, n in items:
+            for i, f in enumerate(fills):
+                if f + n <= cap:
+                    fills[i] += n
+                    bin_id = i
+                    break
+            else:
+                fills.append(n)
+                bin_id = len(fills) - 1
+            out.append({"doc_id": did, "shard": shard, "bin": bin_id,
+                        "n_tok": n})
+    return out
+
+
 # Oracles computed in Python instead of DuckDB SQL (driver's gate records
 # these as rows-only; this replica closes the hash check locally).
 PY_ORACLES = {"doc_compress": oracle_doc_compress,
-              "doc_bpe_train": oracle_doc_bpe_train}
+              "doc_bpe_train": oracle_doc_bpe_train,
+              "doc_pack_ffd": oracle_doc_pack_ffd}
 
 
 def canon(rows):
