@@ -924,9 +924,16 @@ object EventOps {
     * metric are a fixed sequence of correctly-rounded IEEE ops both
     * engines execute identically — no rounding step.
     */
-  def evAbCuped(spark: SparkSession, sfDir: String): DataFrame = {
+  def evAbCuped(spark: SparkSession, sfDir: String): DataFrame =
+    evAbCupedOf(Tables.events(spark, sfDir))
+
+  /** Core over any (event_type, user_id, ts [epoch-nanos], value) frame —
+    * the streaming twin's batch-equivalence spec drives it with in-memory
+    * frames.
+    */
+  def evAbCupedOf(events: DataFrame): DataFrame = {
     val cutUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, epoch micros
-    val u = Tables.events(spark, sfDir)
+    val u = events
       .select(col("event_type"), col("user_id"),
         (col("user_id") % 2).cast(IntegerType).as("variant"),
         expr(s"IF(ts div 1000 < ${cutUs}L, CAST(round(value * 1000) AS BIGINT), 0L)").as("xq"),
