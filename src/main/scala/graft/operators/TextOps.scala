@@ -1098,4 +1098,48 @@ object TextOps {
   // iterative merge loop; tools/compare.py carries a from-scratch Python
   // reference (PY_ORACLES) and BpeTrainSpec pins known-corpus merges +
   // the max-pair-count monotonicity invariant. Driver gate: rows-only.
+
+  /** BPE tokenizer APPLICATION with the merges [[docBpeTrain]] just
+    * learned — closing the tokenizer loop (train on the corpus, then
+    * tokenize the corpus with the result, the exact two-step every vocab
+    * build runs). Emits per doc the word count, the post-BPE symbol
+    * count (= what the training run's token budget is charged), and the
+    * alphabetic char count, so chars-per-token compression is an exact
+    * integer ratio downstream.
+    *
+    * The merge table is `merges` rows of driver state (the ONLY
+    * driver-side data — the decision rows docBpeTrain already returns);
+    * application is a per-row fold: each word's char sequence runs the
+    * same greedy leftmost non-overlapping rewrite as training, merge by
+    * merge in rank order, composed as nested higher-order-function
+    * expressions — zero exchanges over the corpus, the tokenize step
+    * fuses into the scan. At 100 TB this is the ideal shape: broadcast
+    * nothing (merges are literals in the plan), shuffle nothing.
+    */
+  def docBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = docBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    // chained rewrites: merge k applies to sequences already rewritten by
+    // merges 1..k-1, exactly as in training
+    val seqExpr = merges.foldLeft("split(w, '')") { case (inner, (_, l, r, lr)) =>
+      s"""aggregate($inner, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+         |  IF(size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)}
+         |       AND x = ${sqlLit(r)},
+         |     concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(lr)})),
+         |     concat(acc, array(x))))""".stripMargin
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), w -> length(w) > 0)")
+          .as("toks"))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
+        expr(s"aggregate(transform(toks, w -> size($seqExpr)), 0L, (a, b) -> a + CAST(b AS BIGINT))")
+          .as("n_sym"),
+        expr("aggregate(transform(toks, w -> length(w)), 0L, (a, b) -> a + CAST(b AS BIGINT))")
+          .as("n_alpha"))
+  }
+  // doc_bpe_apply oracle: Python reference in tools/compare.py (shares the
+  // merge-learning helper with doc_bpe_train); driver gate: rows-only.
 }

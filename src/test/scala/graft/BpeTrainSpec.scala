@@ -49,6 +49,20 @@ class BpeTrainSpec extends SparkSpec {
     assert(train(Seq("a b c", "a b"), merges = 4).isEmpty)
   }
 
+  test("doc_bpe_apply: symbol counts bounded by words below and chars above") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.docBpeApply(spark, "/root/testdata/sf0.001").cache()
+    try {
+      // each word is ≥ 1 symbol; merges only ever shrink sequences
+      assert(out.filter(col("n_sym") < col("n_tok") ||
+        col("n_sym") > col("n_alpha")).isEmpty,
+        "n_tok ≤ n_sym ≤ n_alpha must hold per doc")
+      // the learned merges actually fire somewhere
+      val shrunk = out.filter(col("n_sym") < col("n_alpha")).count()
+      assert(shrunk > 0, "no document shrank — merges never applied")
+    } finally { out.unpersist(); CacheScope.release() }
+  }
+
   test("sf0.01 corpus: merged == left||right and winning counts are non-increasing") {
     val rows = TextOps.docBpeTrain(spark, "/root/testdata/sf0.01", merges = 6).collect()
       .sortBy(_.getLong(0))

@@ -46,13 +46,14 @@ def oracle_doc_compress(con):
     return out
 
 
-def oracle_doc_bpe_train(con, merges=8):
-    """From-scratch Python reference for BPE merge learning (Sennrich 2016):
-    word counts over normText tokens, then per round count adjacent symbol
-    pairs (overlapping positions, weighted by word frequency), take the
-    (count desc, left asc, right asc) arg-max, and rewrite every word by
-    the greedy leftmost non-overlapping fold — the exact algorithm
-    TextOps.docBpeTrain distributes.
+def _bpe_learn(con, merges=8):
+    """Shared BPE reference (Sennrich 2016): word counts over normText
+    tokens, then per round count adjacent symbol pairs (overlapping
+    positions, weighted by word frequency), take the (count desc, left
+    asc, right asc) arg-max, and rewrite every word by the greedy
+    leftmost non-overlapping fold — the exact algorithm
+    TextOps.docBpeTrain distributes. Returns (merge rows, word → final
+    symbol sequence dict).
     """
     import re
     from collections import Counter
@@ -63,11 +64,12 @@ def oracle_doc_bpe_train(con, merges=8):
         for w in norm.split(" "):
             if w:
                 wc[w] += 1
-    vocab = [(list(w), c) for w, c in wc.items()]
+    vocab = {w: list(w) for w in wc}
     out = []
     for rank in range(1, merges + 1):
         pc = Counter()
-        for seq, c in vocab:
+        for w, seq in vocab.items():
+            c = wc[w]
             for i in range(len(seq) - 1):
                 pc[(seq[i], seq[i + 1])] += c
         if not pc:
@@ -85,7 +87,30 @@ def oracle_doc_bpe_train(con, merges=8):
                     acc.append(x)
             return acc
 
-        vocab = [(apply(s), c) for s, c in vocab]
+        vocab = {w: apply(s) for w, s in vocab.items()}
+    return out, vocab
+
+
+def oracle_doc_bpe_train(con, merges=8):
+    return _bpe_learn(con, merges)[0]
+
+
+def oracle_doc_bpe_apply(con, merges=8):
+    """Apply the learned merges back to every document (the word → final
+    symbol sequence map IS the chained application) and count words,
+    post-BPE symbols, and alphabetic chars per doc — the exact integers
+    TextOps.docBpeApply emits.
+    """
+    import re
+
+    _, vocab = _bpe_learn(con, merges)
+    out = []
+    for did, text in con.execute("SELECT doc_id, text FROM documents").fetchall():
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        words = [w for w in norm.split(" ") if w]
+        out.append({"doc_id": did, "n_tok": len(words),
+                    "n_sym": sum(len(vocab[w]) for w in words),
+                    "n_alpha": sum(len(w) for w in words)})
     return out
 
 
@@ -127,6 +152,7 @@ def oracle_doc_pack_ffd(con, cap=2048, shards=32):
 # these as rows-only; this replica closes the hash check locally).
 PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "doc_bpe_train": oracle_doc_bpe_train,
+              "doc_bpe_apply": oracle_doc_bpe_apply,
               "doc_pack_ffd": oracle_doc_pack_ffd}
 
 
