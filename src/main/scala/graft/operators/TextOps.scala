@@ -1142,4 +1142,75 @@ object TextOps {
   }
   // doc_bpe_apply oracle: Python reference in tools/compare.py (shares the
   // merge-learning helper with doc_bpe_train); driver gate: rows-only.
+
+  /** Quality-classifier TRAINING in-engine — full-batch logistic
+    * regression by gradient descent over the [[docGopherFilter]] feature
+    * panel, labeled by its rule-based admit flag (the standard bootstrap:
+    * distill hand rules into a smooth scorer, then threshold the scorer
+    * where the rules are too brittle — the fastText-quality-classifier
+    * recipe at corpus scale). [[docQualityLogit]] APPLIES a fixed-weight
+    * gate; this is where such weights come from.
+    *
+    * Determinism discipline: the gradient and loss are accumulated as
+    * micro-unit BIGINTs (each row's contribution quantized to 1e-6), so
+    * the per-iteration reduction is FOLD-ORDER-FREE — the same weights
+    * bit-for-bit on any partitioning, cluster size, or retry, which
+    * float summation cannot promise. Weight updates are a fixed IEEE
+    * sequence on the exact sums.
+    *
+    * Scale shape: the feature frame is computed once and staged
+    * ([[graft.CacheScope.barrier]]); each iteration is ONE pass emitting
+    * a 7-value integer aggregate (map-side combined) — driver state is
+    * d+1 doubles per iteration, `iters` rows total. No step is ever
+    * corpus-sized after the feature scan.
+    */
+  def docQualityTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (names, w, _, _) = docQualityTrainFit(spark, sfDir)
+    import spark.implicits._
+    names.zip(w).toSeq.toDF("feature", "weight")
+  }
+
+  /** Fit core: returns (feature names, weights, per-iteration mean
+    * logloss in micro-nats, n rows) — the spec asserts on the trace.
+    */
+  def docQualityTrainFit(spark: SparkSession, sfDir: String,
+                         iters: Int = 15, lr: Double = 2.0)
+      : (Array[String], Array[Double], Seq[Double], Long) = {
+    val names = Array("bias", "len", "wordlen", "stop", "uniq", "rep")
+    val feats = docGopherFilter(spark, sfDir).select(
+      lit(1.0).as("x0"),
+      (least(col("n_tokens"), lit(200)).cast("double") / 200.0).as("x1"),
+      (least(col("avg_token_len"), lit(10.0)) / 10.0).as("x2"),
+      (least(col("n_stop"), lit(20)).cast("double") / 20.0).as("x3"),
+      col("uniq_ratio").as("x4"),
+      col("rep_ratio").as("x5"),
+      col("admit").cast("double").as("y"))
+      .transform(graft.CacheScope.barrier) // one feature scan, iters passes
+    val n = feats.count()
+    val w = Array.fill(names.length)(0.0)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val z = (0 until names.length)
+        .map(j => s"(${w(j)}) * x$j").mkString(" + ")
+      val agg = feats
+        .withColumn("p", expr(s"1.0 / (1.0 + exp(-($z)))"))
+        .withColumn("e", col("p") - col("y"))
+        .select(
+          (0 until names.length).map(j =>
+            sum(expr(s"CAST(round(1e6 * e * x$j) AS BIGINT)")).as(s"g$j")) :+
+          sum(expr(
+            """CAST(round(-1e6 * (y * ln(p + 1e-12)
+              |  + (1.0 - y) * ln(1.0 - p + 1e-12))) AS BIGINT)""".stripMargin))
+            .as("loss"): _*)
+        .head()
+      losses += agg.getLong(names.length).toDouble / 1e6 / n.toDouble
+      for (j <- 0 until names.length)
+        w(j) -= lr * (agg.getLong(j).toDouble / 1e6) / n.toDouble
+    }
+    (names, w, losses.toSeq, n)
+  }
+  // doc_quality_train: iterative GD is not SQL-expressible and float
+  // weights have no cross-engine oracle; driver gate records rows-only.
+  // QualityTrainSpec pins loss decrease, determinism (integer-grid
+  // gradients), and accuracy above the majority-class baseline.
 }
