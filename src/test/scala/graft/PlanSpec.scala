@@ -772,4 +772,71 @@ class PlanSpec extends SparkSpec {
     // the similarity filter in one codegen stage per task
     assert(countExchanges("emb_range_search") == 0)
   }
+
+  test("ev_ab_cuped: pre/post periods and both arms fold into the user + metric exchanges") {
+    // (event_type, user) reduction + per-metric moment fold — conditional
+    // aggregation means neither another period nor another variant ever
+    // adds a scan or a shuffle (the ev_ab_stats contract with X⊗Y added)
+    assert(countExchanges("ev_ab_cuped") == 2)
+  }
+
+  test("ev_forecast: one data-sized exchange (the daily aggregate); lag-7 join broadcasts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.queries("ev_forecast")(spark, sf).queryExecution.executedPlan
+      val dataExchanges = phys.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            // the (type, day) daily agg: everything after it is tiny
+            if e.toString.contains("event_type") => e
+      }
+      assert(dataExchanges.nonEmpty)
+      assert(phys.toString.contains("BroadcastHashJoin") ||
+        phys.toString.contains("BroadcastExchange"),
+        "the lag-7 self-join over the tiny daily table should broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Exchange-input columns with AQE unwrapped (same discipline as
+    * [[countExchanges]] — adaptive roots hide the exchanges). */
+  private def shuffledColumns(name: String): Seq[Seq[String]] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name).toSeq
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("doc_split_safe: cluster labels broadcast; the corpus itself never shuffles") {
+    try {
+      // every exchange belongs to the dedup_clusters pair/CC machinery
+      // (slim id/band/gram rows) — the documents table's text/lang never
+      // rides one, and the final split assignment joins via broadcast
+      val cols = shuffledColumns("doc_split_safe")
+      assert(cols.forall(cs => !cs.contains("text") && !cs.contains("lang")),
+        s"corpus columns rode an exchange: $cols")
+      val p = SparkEntry.queries("doc_split_safe")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), "label join should broadcast")
+    } finally CacheScope.release()
+  }
+
+  test("doc_pack_ffd: the packing exchange carries only (doc_id, n_tok, shard)") {
+    val cols = shuffledColumns("doc_pack_ffd")
+    assert(cols.nonEmpty)
+    assert(cols.forall(cs => !cs.exists(_.contains("text"))),
+      s"text rode the packing exchange: $cols")
+  }
+
+  test("corpus_stats: digest window + source fold — slim exchanges, no text") {
+    val cols = shuffledColumns("corpus_stats")
+    assert(cols.nonEmpty)
+    assert(cols.forall(cs => !cs.contains("text")),
+      s"text rode an exchange: $cols")
+  }
+
+  test("doc_bpe_apply: merges are plan literals — zero exchanges over the corpus") {
+    assert(countExchanges("doc_bpe_apply") == 0)
+    CacheScope.release() // the training fit staged barriers
+  }
 }
