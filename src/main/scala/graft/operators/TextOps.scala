@@ -1109,12 +1109,14 @@ object TextOps {
     *
     * The merge table is `merges` rows of driver state (the ONLY
     * driver-side data — the decision rows docBpeTrain already returns);
-    * application is a per-row fold: each word's char sequence runs the
-    * same greedy leftmost non-overlapping rewrite as training, merge by
-    * merge in rank order, composed as nested higher-order-function
-    * expressions — zero exchanges over the corpus, the tokenize step
-    * fuses into the scan. At 100 TB this is the ideal shape: broadcast
-    * nothing (merges are literals in the plan), shuffle nothing.
+    * the greedy leftmost non-overlapping rewrite (merge by merge in rank
+    * order, composed as nested higher-order-function expressions) runs
+    * ONCE PER DISTINCT WORD — the Heaps'-law table, orders of magnitude
+    * below token instances — and the per-doc counts come from joining
+    * exploded tokens against that vocabulary (broadcast at any realistic
+    * vocab size). A first cut ran the fold per token INSTANCE: 9.4 s at
+    * sf0.1 vs ~1 s for this shape — the same ratio a 100 TB corpus
+    * would see, magnified.
     */
   def docBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = docBpeTrain(spark, sfDir).collect()
@@ -1129,16 +1131,17 @@ object TextOps {
          |     concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(lr)})),
          |     concat(acc, array(x))))""".stripMargin
     }
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        expr("filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), w -> length(w) > 0)")
-          .as("toks"))
-      .select(col("doc_id"),
-        expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
-        expr(s"aggregate(transform(toks, w -> size($seqExpr)), 0L, (a, b) -> a + CAST(b AS BIGINT))")
-          .as("n_sym"),
-        expr("aggregate(transform(toks, w -> length(w)), 0L, (a, b) -> a + CAST(b AS BIGINT))")
-          .as("n_alpha"))
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = tok.select(col("w")).distinct()
+      .withColumn("n_sym_w", size(expr(seqExpr)).cast("long"))
+      .withColumn("n_chr_w", length(col("w")).cast("long"))
+    tok.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("n_sym_w")).as("n_sym"),
+        sum(col("n_chr_w")).as("n_alpha"))
   }
   // doc_bpe_apply oracle: Python reference in tools/compare.py (shares the
   // merge-learning helper with doc_bpe_train); driver gate: rows-only.
@@ -1213,4 +1216,44 @@ object TextOps {
   // weights have no cross-engine oracle; driver gate records rows-only.
   // QualityTrainSpec pins loss decrease, determinism (integer-grid
   // gradients), and accuracy above the majority-class baseline.
+
+  /** Feature-hashed document embeddings (Weinberger et al. ICML'09, the
+    * fastText/Vowpal-Wabbit input layer): every token lands in one of 64
+    * dimensions by hash, with a second hash choosing ±1 sign so
+    * collisions cancel in expectation — turning raw text into the
+    * fixed-width vectors the `emb_*` family consumes, with NO vocabulary
+    * to build, broadcast, or keep in sync (the property that matters at
+    * 100 TB: the map is stateless, so re-sharding, retries, and corpus
+    * growth cannot skew it). Output is the SPARSE form (doc_id, dim,
+    * signed integer weight, zero rows dropped) — exact BIGINTs, directly
+    * joinable or pivotable to dense.
+    *
+    * Scale shape: one explode + one (doc_id, dim)-keyed aggregation with
+    * map-side combine — the [[docNgramFreq]] exchange pattern, carrying
+    * 24-byte rows, never text. Everything is engine-portable md5
+    * arithmetic, so the DuckDB twin is exact.
+    */
+  def docEmbedHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        expr(s"${h32Sql("concat('fh|', w)")} % 64").as("dim"),
+        expr(s"IF(${h32Sql("concat('fs|', w)")} % 2 = 0, 1L, -1L)").as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("wgt"))
+      .filter(col("wgt") =!= 0)
+
+  val docEmbedHashSql: String =
+    """SELECT doc_id, dim, wgt FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('fh|' || w), 1, 8))::BIGINT % 64 AS dim,
+      |    CAST(sum(CASE WHEN ('0x' || substr(md5('fs|' || w), 1, 8))::BIGINT % 2 = 0
+      |             THEN 1 ELSE -1 END) AS BIGINT) AS wgt
+      |  FROM (SELECT doc_id, unnest(string_split(trim(
+      |          regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0
+      |  GROUP BY doc_id, dim)
+      |WHERE wgt != 0""".stripMargin
 }

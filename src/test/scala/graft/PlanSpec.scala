@@ -835,8 +835,19 @@ class PlanSpec extends SparkSpec {
       s"text rode an exchange: $cols")
   }
 
-  test("doc_bpe_apply: merges are plan literals — zero exchanges over the corpus") {
-    assert(countExchanges("doc_bpe_apply") == 0)
-    CacheScope.release() // the training fit staged barriers
+  test("doc_bpe_apply: rewrite runs on the distinct-word table; vocab broadcasts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.queries("doc_bpe_apply")(spark, sf)
+        .queryExecution.executedPlan
+      // token→vocab join must broadcast, never sort-merge the corpus
+      assert(phys.toString.contains("BroadcastHashJoin"),
+        "vocab lookup should broadcast")
+      assert(!phys.toString.contains("SortMergeJoin"),
+        "corpus must not sort-merge against the vocabulary")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      CacheScope.release() // the training fit staged barriers
+    }
   }
 }
