@@ -1471,33 +1471,55 @@ object VectorOps {
   def embCov(spark: SparkSession, sfDir: String): DataFrame =
     embCovOf(Tables.embeddings(spark, sfDir))
 
+  /** One-pass exact moment fit: [n, s_0..s_{d-1}, upper-triangle p_ij]
+    * as BIGINTs via the fused [[graft.functions.CovMoments]] buffer —
+    * the corpus is scanned once and the only exchange is ONE ~17 KB
+    * buffer per map task (partial + final). The first cut exploded
+    * d(d+1)/2 product structs per row into a 2080-key hash aggregate:
+    * 2.1 s at sf0.1 vs ~0.3 s for this shape, and the gap is pure
+    * shuffle-row count — the arithmetic is identical, fold-order-free
+    * integers either way.
+    */
+  private[graft] def covMomentsOf(emb: DataFrame): Array[Long] = {
+    val covAgg = udaf(new graft.functions.CovMoments(dims))
+    emb.select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("vq"))
+      .agg(covAgg(col("vq")).as("b"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  private def triIndex(i: Int, j: Int): Int = // row-major upper triangle
+    i * dims - i * (i - 1) / 2 + (j - i)
+
+  /** The fit's physical plan, for PlanSpec's exchange-shape assertion. */
+  private[graft] def covMomentsPlanForSpec(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val covAgg = udaf(new graft.functions.CovMoments(dims))
+    Tables.embeddings(spark, sfDir).select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("vq"))
+      .agg(covAgg(col("vq")).as("b"))
+      .queryExecution.executedPlan
+  }
+
   /** Core over any frame with an `embedding` array column — the OPQ
-    * premise spec drives it with a deliberately correlated mix. */
+    * premise spec drives it with a deliberately correlated mix. The
+    * 2080-row result is model-sized, built from the collected buffer
+    * with the exact IEEE sequence the previous declarative form (and
+    * the DuckDB oracle) computes — hash-identical output.
+    */
   def embCovOf(emb: DataFrame): DataFrame = {
-    val q = emb.select(
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("vq"))
-    val prods = q
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, ${dims - 1}), i ->
-           |  transform(sequence(i, ${dims - 1}), j ->
-           |    struct(i AS i, j AS j,
-           |           element_at(vq, i + 1) * element_at(vq, j + 1) AS p))))"""
-          .stripMargin)).as("z"))
-      .select(col("z.i").as("i"), col("z.j").as("j"), col("z.p").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s_ij"))
-    val dimSums = q
-      .select(posexplode(col("vq")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("s"))
-    val n = q.agg(count(lit(1)).as("n"))
-    prods
-      .join(broadcast(dimSums.select(col("i"), col("s").as("s_i"))), Seq("i"))
-      .join(broadcast(dimSums.select(col("i").as("j"), col("s").as("s_j"))), Seq("j"))
-      .crossJoin(broadcast(n)) // 1-row scalar attach (whitelisted shape)
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        expr("""(CAST(s_ij AS DOUBLE)
-               | - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
-               | / CAST(n AS DOUBLE) / 1000000.0""".stripMargin).as("cov"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val b = covMomentsOf(emb)
+    val n = b(0).toDouble
+    val rows = for { i <- 0 until dims; j <- i until dims } yield {
+      val sij = b(1 + dims + triIndex(i, j))
+      (i.toLong, j.toLong,
+        (sij.toDouble - b(1 + i).toDouble * b(1 + j).toDouble / n) / n / 1000000.0)
+    }
+    rows.toDF("i", "j", "cov")
   }
 
   val embCovSql: String =
@@ -1587,21 +1609,18 @@ object VectorOps {
 
   private[graft] def pcaFitOf(emb: DataFrame)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val covRows = embCovOf(emb).collect()
+    // one corpus pass serves covariance AND means (the fused buffer);
+    // both finalizations keep the exact IEEE sequences of the previous
+    // two-pass form, so the fitted model is bit-identical
+    val b = covMomentsOf(emb)
+    val n = b(0).toDouble
     val m = Array.ofDim[Double](dims, dims)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+    for { i <- 0 until dims; j <- i until dims } {
+      val c = (b(1 + dims + triIndex(i, j)).toDouble
+        - b(1 + i).toDouble * b(1 + j).toDouble / n) / n / 1000000.0
       m(i)(j) = c; m(j)(i) = c
     }
-    val meanRows = emb.select(
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("vq"))
-      .select(posexplode(col("vq")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val means = Array.ofDim[Double](dims)
-    meanRows.foreach(r =>
-      means(r.getInt(0)) = r.getLong(1).toDouble / r.getLong(2).toDouble / 1000.0)
+    val means = Array.tabulate(dims)(i => b(1 + i).toDouble / n / 1000.0)
     val (vals, vecs) = jacobiEigen(m)
     (means, vals, vecs)
   }

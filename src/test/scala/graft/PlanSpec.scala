@@ -739,25 +739,22 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges("ev_cep") == 1)
   }
 
-  test("emb_cov: moment exchange carries (i, j, partial) only; model joins broadcast") {
+  test("emb_cov: the fused moment fit shuffles ONE buffer per map task, never vectors") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val phys = SparkEntry.queries("emb_cov")(spark, sf).queryExecution.executedPlan
-      // the second-moment aggregation is the ONLY data-sized exchange and
-      // it moves 2080-key partials, never vectors; dim sums + n attach as
-      // broadcasts (the whole 100 TB story of the outer-product shape)
-      val shuffles = phys.collect {
+      // the fit plan (covMomentsOf): a single global aggregate over the
+      // CovMoments buffer — partial+final, one ~17 KB array per map
+      // task; no vector column ever rides an exchange
+      val fit = graft.operators.VectorOps.covMomentsPlanForSpec(spark, sf)
+      val shuffles = fit.collect {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
       }
+      assert(shuffles.size == 1, s"expected the single final-agg exchange: $shuffles")
       shuffles.foreach { s =>
         val cols = s.output.map(_.name)
         assert(!cols.exists(c => c.contains("vq") || c.contains("embedding")),
           s"vector column rides an exchange: $cols")
       }
-      val bcasts = phys.collect {
-        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-      }
-      assert(bcasts.size >= 3, s"dim sums ×2 + n should broadcast, saw ${bcasts.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
