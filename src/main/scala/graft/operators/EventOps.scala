@@ -1060,6 +1060,151 @@ object EventOps {
       |  thn * thn / (thd * syyd) AS var_red
       |FROM f WHERE se2 > 0""".stripMargin
 
+  /** Always-valid sequential A/B test — the mixture SPRT (Johari et al.,
+    * KDD'17 "Peeking at A/B tests"): the likelihood-ratio statistic
+    * Λ = √(se²/(se²+τ²)) · exp(θ̂²τ² / (2se²(se²+τ²))) against the
+    * Gaussian mixture prior τ, and its always-valid p-value min(1, 1/Λ)
+    * — the number a dashboard may legally show WHILE the experiment
+    * runs (the fixed-n Welch t of [[evAbStats]] is only valid at a
+    * pre-committed stopping time). Same six exact BIGINT moments, same
+    * single conditional-agg exchange; the finalization adds √/exp on
+    * the per-metric result rows only, rounded to the 1e-6 grid (the
+    * [[TextOps.docDsirSample]] float-order discipline — √/exp are
+    * correctly-rounded-to-ulp on both engines and the 6-digit rounding
+    * absorbs any boundary ulp).
+    */
+  def evAbSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    val tau2 = "10000.0" // mixture prior τ = 100 milli = 0.1 metric units
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("user_id") % 2).cast(IntegerType).as("variant"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+    e.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("vq")).otherwise(0L)).as("s_a"),
+        sum(when(col("variant") === 1, col("vq")).otherwise(0L)).as("s_b"),
+        sum(when(col("variant") === 0, col("vq") * col("vq")).otherwise(0L)).as("ss_a"),
+        sum(when(col("variant") === 1, col("vq") * col("vq")).otherwise(0L)).as("ss_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("diff", expr(
+        "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+      .withColumn("se2", expr(
+        """(CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+          |  / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+          |+ (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+          |  / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)"""
+          .stripMargin))
+      .filter(col("se2") > 0)
+      .withColumn("lam", expr(
+        s"sqrt(se2 / (se2 + $tau2)) * exp(diff * diff * $tau2 / (2.0 * se2 * (se2 + $tau2)))"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("round(diff / 1000.0, 6)").as("diff"),
+        expr("round(lam, 6)").as("lambda"),
+        expr("round(least(1.0, 1.0 / lam), 6)").as("p_seq"))
+  }
+
+  val evAbSeqSql: String =
+    """WITH q AS (
+      |  SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+      |    CAST(round(value * 1000) AS BIGINT) AS vq
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN vq ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN vq ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN vq * vq ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN vq * vq ELSE 0 END) AS BIGINT) AS ss_b
+      |  FROM q GROUP BY event_type),
+      |m AS (
+      |  SELECT *,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+      |    (CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+      |    + (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE) AS se2
+      |  FROM g WHERE n_a > 1 AND n_b > 1),
+      |l AS (
+      |  SELECT *,
+      |    sqrt(se2 / (se2 + 10000.0))
+      |      * exp(diff * diff * 10000.0 / (2.0 * se2 * (se2 + 10000.0))) AS lam
+      |  FROM m WHERE se2 > 0)
+      |SELECT event_type, n_a, n_b,
+      |  round(diff / 1000.0, 6) AS diff,
+      |  round(lam, 6) AS lambda,
+      |  round(least(1.0, 1.0 / lam), 6) AS p_seq
+      |FROM l""".stripMargin
+
+  /** Experiment power panel — the minimum detectable effect at 80% power
+    * / 5% two-sided α per metric, from the same exact moments: the
+    * pre-launch sizing question ("can this experiment even see a 1%
+    * move?") answered from live variance instead of guesses. MDE =
+    * (z_{α/2} + z_{power})·√se² with the z constants as shared literals.
+    */
+  def evAbPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val zsum = "2.801585218113954" // 1.959963984540054 + 0.841621233572914
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("user_id") % 2).cast(IntegerType).as("variant"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))
+    e.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(col("vq")).as("s"),
+        sum(when(col("variant") === 0, col("vq")).otherwise(0L)).as("s_a"),
+        sum(when(col("variant") === 1, col("vq")).otherwise(0L)).as("s_b"),
+        sum(when(col("variant") === 0, col("vq") * col("vq")).otherwise(0L)).as("ss_a"),
+        sum(when(col("variant") === 1, col("vq") * col("vq")).otherwise(0L)).as("ss_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("se2", expr(
+        """(CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+          |  / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+          |+ (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+          |  / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)"""
+          .stripMargin))
+      .filter(col("se2") > 0)
+      .withColumn("mde_q", expr(s"$zsum * sqrt(se2)"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("round(CAST(s AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) / 1000.0, 6)")
+          .as("baseline_mean"),
+        expr("round(mde_q / 1000.0, 6)").as("mde_abs"),
+        expr("round(mde_q * CAST(n_a + n_b AS DOUBLE) / CAST(s AS DOUBLE), 6)")
+          .as("mde_rel"))
+  }
+
+  val evAbPowerSql: String =
+    """WITH q AS (
+      |  SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+      |    CAST(round(value * 1000) AS BIGINT) AS vq
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(vq) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN variant = 0 THEN vq ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN vq ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN vq * vq ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN vq * vq ELSE 0 END) AS BIGINT) AS ss_b
+      |  FROM q GROUP BY event_type),
+      |m AS (
+      |  SELECT *,
+      |    (CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+      |    + (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE) AS se2
+      |  FROM g WHERE n_a > 1 AND n_b > 1),
+      |p AS (SELECT *, 2.801585218113954 * sqrt(se2) AS mde_q FROM m WHERE se2 > 0)
+      |SELECT event_type, n_a, n_b,
+      |  round(CAST(s AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) / 1000.0, 6) AS baseline_mean,
+      |  round(mde_q / 1000.0, 6) AS mde_abs,
+      |  round(mde_q * CAST(n_a + n_b AS DOUBLE) / CAST(s AS DOUBLE), 6) AS mde_rel
+      |FROM p""".stripMargin
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
