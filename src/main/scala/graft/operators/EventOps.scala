@@ -1073,9 +1073,15 @@ object EventOps {
     * correctly-rounded-to-ulp on both engines and the 6-digit rounding
     * absorbs any boundary ulp).
     */
-  def evAbSeq(spark: SparkSession, sfDir: String): DataFrame = {
+  def evAbSeq(spark: SparkSession, sfDir: String): DataFrame =
+    evAbSeqOf(Tables.events(spark, sfDir))
+
+  /** Core over any (event_type, user_id, value) frame — the streaming
+    * monitor's batch-equivalence spec drives it with in-memory frames.
+    */
+  def evAbSeqOf(events: DataFrame): DataFrame = {
     val tau2 = "10000.0" // mixture prior τ = 100 milli = 0.1 metric units
-    val e = Tables.events(spark, sfDir)
+    val e = events
       .select(col("event_type"),
         (col("user_id") % 2).cast(IntegerType).as("variant"),
         expr("CAST(round(value * 1000) AS BIGINT)").as("vq"))

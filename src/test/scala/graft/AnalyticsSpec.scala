@@ -83,6 +83,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ev_ab_seq: always-valid p in (0,1], consistent with the likelihood ratio") {
+    val rows = EventOps.evAbSeq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lam, p) = (r.getDouble(4), r.getDouble(5))
+      assert(lam > 0, s"lambda must be positive: $r")
+      assert(p > 0 && p <= 1.0, s"p_seq out of range: $r")
+      assert(math.abs(p - math.min(1.0, 1.0 / lam)) < 2e-6,
+        s"p_seq != min(1, 1/lambda) beyond rounding: $r")
+    }
+  }
+
+  test("ev_ab_power: MDE positive and rel/abs consistent with the baseline mean") {
+    val rows = EventOps.evAbPower(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (base, mAbs, mRel) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mAbs > 0 && mRel > 0 && base > 0, s"degenerate power row: $r")
+      assert(math.abs(mRel - mAbs / base) < 1e-3,
+        s"mde_rel inconsistent with mde_abs/baseline: $r")
+    }
+  }
+
   test("corpus_stats: totals reconcile and rates are bounded") {
     val out = CorpusPipeline.corpusStats(spark, sf).cache()
     try {
