@@ -125,8 +125,15 @@ object StreamBench {
       (ds: org.apache.spark.sql.Dataset[(Long, String)]) =>
         graft.streaming.SpanDedupStream.spanDedupStream(
           ds.toDF("doc_id", "text")), "append")
+    // Always-valid experiment monitor: five metric keys, O(1) state each
+    val abEvents = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "user_id", "value")
+      .as[graft.streaming.AbEvent].collect()
+    val abSeq = runTyped("ab_seq_monitor", abEvents,
+      (ds: org.apache.spark.sql.Dataset[graft.streaming.AbEvent]) =>
+        graft.streaming.SeqTestStream.readouts(ds).toDF(), "update")
 
-    val qs = Seq(t1, t2, fun, topk, span).map { case (n, rps, rows, p50) =>
+    val qs = Seq(t1, t2, fun, topk, span, abSeq).map { case (n, rps, rows, p50) =>
       s""""$n":{"records_per_sec":${rps.round},"out_rows":$rows,"batch_ms_p50":$p50}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_throughput","unit":"records/sec","pipelines":$qs,"n_records":${frames.length},"sf":"$sfDir"}""")
