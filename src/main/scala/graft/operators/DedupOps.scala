@@ -1584,4 +1584,45 @@ object DedupOps {
       |  ON a.c_custkey < b.c_custkey
       | AND abs(length(a.c_name) - length(b.c_name)) <= 1
       | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+  /** Dedup-threshold audit panel — the histogram every dedup deployment
+    * reads before fixing its Jaccard cutoff: near-dup pair counts and
+    * affected-document counts per 0.05 similarity band over the
+    * MinHash-LSH candidate pairs. Moving the threshold one band changes
+    * exactly these rows' worth of drops; without this view the cutoff is
+    * folklore. Slim by construction: input is the already-banded pair
+    * list (≪ corpus), output ≤ 20 rows. The band's mean similarity is an
+    * exact integer ratio (jacc is on the 1e-4 grid, so the sum is a
+    * fold-order-free BIGINT and the one division is shared IEEE).
+    */
+  def dedupThresholdPanel(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, sfDir)
+      .withColumn("band_lo", expr("CAST(floor(jacc * 20) AS BIGINT)"))
+      .transform(CacheScope.barrier) // pair stats + doc stats share it
+    val byPairs = pairs.groupBy(col("band_lo")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(expr("CAST(round(jacc * 10000) AS BIGINT)")).as("jq"))
+    val byDocs = pairs
+      .select(col("band_lo"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy(col("band_lo")).agg(countDistinct(col("d")).as("n_docs"))
+    byPairs.join(byDocs, Seq("band_lo"))
+      .select(col("band_lo"), col("n_pairs"), col("n_docs"),
+        expr("CAST(jq AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 10000.0)")
+          .as("mean_jacc"))
+  }
+
+  val dedupThresholdPanelSql: String =
+    s"""WITH pairs AS ($minhashLshPairsSql),
+       |b AS (SELECT *, CAST(floor(jacc * 20) AS BIGINT) AS band_lo FROM pairs),
+       |bp AS (
+       |  SELECT band_lo, count(*) AS n_pairs,
+       |    CAST(sum(CAST(round(jacc * 10000) AS BIGINT)) AS BIGINT) AS jq
+       |  FROM b GROUP BY band_lo),
+       |bd AS (
+       |  SELECT band_lo, count(DISTINCT d) AS n_docs
+       |  FROM (SELECT band_lo, unnest([a_id, b_id]) AS d FROM b)
+       |  GROUP BY band_lo)
+       |SELECT band_lo, n_pairs, n_docs,
+       |  CAST(jq AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 10000.0) AS mean_jacc
+       |FROM bp JOIN bd USING (band_lo)""".stripMargin
 }
