@@ -1211,6 +1211,109 @@ object EventOps {
       |  round(mde_q * CAST(n_a + n_b AS DOUBLE) / CAST(s AS DOUBLE), 6) AS mde_rel
       |FROM p""".stripMargin
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven upgrade over [[evAttribution]]'s last-touch rule: model
+    * each user's pre-conversion journey as a first-order Markov chain
+    * (START → channel states → CONV/NULL absorption), compute the
+    * chain's conversion probability, and credit each channel by how much
+    * that probability DROPS when the channel is removed (its mass
+    * falling out of the chain) — normalized to the observed conversion
+    * total.
+    *
+    * Scale shape: the corpus-sized work is ONE user-keyed window pass
+    * (row_number + lag share the exchange) and a (src, dst) count
+    * aggregate — ≤ (channels+2)² slim rows to the driver. The
+    * absorption solve is Gaussian elimination on that tiny matrix
+    * (fixed elimination order, no pivoting — the [[VectorOps]] Jacobi
+    * precedent for deterministic driver-side math); the Python
+    * reference oracle in tools/compare.py mirrors the arithmetic op for
+    * op, so the doubles match bit-for-bit.
+    */
+  def evAttributionMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("state"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+    val pn = e.filter(col("state") === "CONV")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("pn"))
+    val mx = e.groupBy(col("user_id")).agg(max(col("rn")).as("mx"))
+    val kept = e.join(pn, Seq("user_id"), "left")
+      .filter(col("pn").isNull || col("rn") <= col("pn"))
+    val transA = kept.select(
+      coalesce(col("prev"), lit("START")).as("src"), col("state").as("dst"))
+    val transB = kept.join(mx, Seq("user_id"))
+      .filter(col("pn").isNull && col("rn") === col("mx"))
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val counts = transA.unionByName(transB)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val channels = counts.keysIterator.flatMap { case (s, d) => Seq(s, d) }
+      .filter(x => x != "START" && x != "CONV" && x != "NULL")
+      .toSeq.distinct.sorted
+    val convTotal = counts.collect { case ((_, "CONV"), n) => n }.sum
+
+    // row-stochastic transition probability over the observed counts
+    val outTotal: Map[String, Long] =
+      counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    def p(s: String, d: String): Double = {
+      val t = outTotal.getOrElse(s, 0L)
+      if (t == 0L) 0.0 else counts.getOrElse((s, d), 0L).toDouble / t.toDouble
+    }
+
+    /** P(absorb in CONV starting at states.head) via (I − Q)x = r,
+      * Gaussian elimination in fixed order (mirrored in the oracle). */
+    def absorb(states: Seq[String]): Double = {
+      val n = states.length
+      val a = Array.tabulate(n, n + 1) { (i, j) =>
+        if (j == n) p(states(i), "CONV")
+        else (if (i == j) 1.0 else 0.0) - p(states(i), states(j))
+      }
+      var k = 0
+      while (k < n) {
+        val piv = a(k)(k)
+        var i = k + 1
+        while (i < n) {
+          val f = a(i)(k) / piv
+          var j = k
+          while (j <= n) { a(i)(j) = a(i)(j) - f * a(k)(j); j += 1 }
+          i += 1
+        }
+        k += 1
+      }
+      val x = new Array[Double](n)
+      var i = n - 1
+      while (i >= 0) {
+        var s = a(i)(n)
+        var j = i + 1
+        while (j < n) { s = s - a(i)(j) * x(j); j += 1 }
+        x(i) = s / a(i)(i)
+        i -= 1
+      }
+      x(0)
+    }
+
+    val base = absorb("START" +: channels)
+    val re = channels.map { c =>
+      c -> (1.0 - absorb("START" +: channels.filterNot(_ == c)) / base)
+    }
+    val reSum = re.map(_._2).sum
+    val spark2 = spark
+    import spark2.implicits._
+    re.map { case (c, r) =>
+      (c, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(convTotal.toDouble * r / reSum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("channel", "removal_effect", "attribution")
+  }
+  // ev_attribution_markov oracle: the absorption solve is not SQL — a
+  // Python reference in tools/compare.py mirrors the chain construction
+  // and elimination op for op (PY_ORACLES); driver gate records rows-only.
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -148,12 +148,85 @@ def oracle_doc_pack_ffd(con, cap=2048, shards=32):
     return out
 
 
+def oracle_ev_attribution_markov(con):
+    """From-scratch reference for Markov removal-effect attribution,
+    mirroring EventOps.evAttributionMarkov op for op: per-user journeys
+    ordered by (ts, event_id) truncated at the first purchase (CONV) or
+    terminated with NULL, first-order transition counts, absorption
+    probability via Gaussian elimination in the SAME fixed order, removal
+    effect 1 - a_c/a, attribution normalized to observed conversions.
+    """
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, event_type FROM events "
+        "ORDER BY user_id, epoch_us(ts), event_id").fetchall()
+    counts = defaultdict(int)
+    journeys = defaultdict(list)
+    for uid, _, _, et in rows:
+        journeys[uid].append("CONV" if et == "purchase" else et)
+    for seq in journeys.values():
+        kept = []
+        for s in seq:
+            kept.append(s)
+            if s == "CONV":
+                break
+        prev = "START"
+        for s in kept:
+            counts[(prev, s)] += 1
+            prev = s
+        if kept[-1] != "CONV":
+            counts[(kept[-1], "NULL")] += 1
+
+    channels = sorted({x for k in counts for x in k
+                       if x not in ("START", "CONV", "NULL")})
+    conv_total = sum(n for (s, d), n in counts.items() if d == "CONV")
+    out_total = defaultdict(int)
+    for (s, _), n in counts.items():
+        out_total[s] += n
+
+    def p(s, d):
+        t = out_total.get(s, 0)
+        return counts.get((s, d), 0) / t if t else 0.0
+
+    def absorb(states):
+        n = len(states)
+        a = [[(1.0 if i == j else 0.0) - p(states[i], states[j])
+              for j in range(n)] + [p(states[i], "CONV")] for i in range(n)]
+        for k in range(n):
+            piv = a[k][k]
+            for i in range(k + 1, n):
+                f = a[i][k] / piv
+                for j in range(k, n + 1):
+                    a[i][j] = a[i][j] - f * a[k][j]
+        x = [0.0] * n
+        for i in range(n - 1, -1, -1):
+            s = a[i][n]
+            for j in range(i + 1, n):
+                s = s - a[i][j] * x[j]
+            x[i] = s / a[i][i]
+        return x[0]
+
+    def r(x, places):
+        return float(Decimal(repr(x)).quantize(Decimal(places), ROUND_HALF_UP))
+
+    base = absorb(["START"] + channels)
+    re = [(c, 1.0 - absorb(["START"] + [d for d in channels if d != c]) / base)
+          for c in channels]
+    re_sum = sum(v for _, v in re)
+    return [{"channel": c, "removal_effect": r(v, "0.000001"),
+             "attribution": r(conv_total * v / re_sum, "0.0001")}
+            for c, v in re]
+
+
 # Oracles computed in Python instead of DuckDB SQL (driver's gate records
 # these as rows-only; this replica closes the hash check locally).
 PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "doc_bpe_train": oracle_doc_bpe_train,
               "doc_bpe_apply": oracle_doc_bpe_apply,
-              "doc_pack_ffd": oracle_doc_pack_ffd}
+              "doc_pack_ffd": oracle_doc_pack_ffd,
+              "ev_attribution_markov": oracle_ev_attribution_markov}
 
 
 def canon(rows):
