@@ -72,6 +72,58 @@ class CupedStreamSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart: MapState covariates and moments survive a new query") {
+    val s = spark
+    import s.implicits._
+    withRestoredProvider {
+      val base = java.nio.file.Files.createTempDirectory("graft_cuped_ckpt").toString
+      val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+      val schema = "event_type STRING, user_id BIGINT, value DOUBLE, pre BOOLEAN"
+      def startQuery() = // memory sink can't recover in Update mode;
+        // foreachBatch + parquet is the recoverable readout sink
+        CupedStream.readouts(
+            spark.readStream.schema(schema).parquet(src).as[CupedEvent])
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[CupedReadout], id: Long) =>
+            df.toDF().withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+              .write.mode("append").parquet(out): Unit
+          }
+          .option("checkpointLocation", ckpt).outputMode("update").start()
+
+      val (half1, half2) = rnd.shuffle(events).splitAt(events.length / 2)
+      half1.toDF("event_type", "user_id", "value", "pre").write.parquet(src)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+
+      // restart with the remaining data: the restored per-user map must
+      // REPLACE (not re-add) contributions, so the final row equals the
+      // all-data batch operator bit for bit
+      half2.toDF("event_type", "user_id", "value", "pre")
+        .write.mode("append").parquet(src)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        val asEvents = events.map { e =>
+          (e.event_type, e.user_id,
+            if (e.pre) CutNs - 1000000L else CutNs + 1000000L, e.value)
+        }.toDF("event_type", "user_id", "ts", "value")
+        val batch = EventOps.evAbCupedOf(asEvents).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(6)))
+          .toMap
+        val got = spark.read.parquet(out).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(6), r.getLong(8)))
+          .groupBy(_._1)
+          .map { case (k, rows) => k -> rows.maxBy(_._5) }
+        batch.foreach { case (k, (na, nb, t)) =>
+          val (_, gna, gnb, gt, _) = got(k)
+          assert((gna, gnb) == ((na, nb)), s"$k: state lost across restart")
+          assert(gt == t, s"$k: t diverged after restart: $gt vs $t")
+        }
+      } finally q2.stop()
+    }
+  }
+
   test("re-observing a user replaces (not double-counts) their contribution") {
     val s = spark
     import s.implicits._
