@@ -318,6 +318,24 @@ object SampleOps {
     */
   val FfdShards = 32
 
+  /** Pure FFD core: sort (length desc, id asc), first-fit each item into
+    * the lowest-indexed bin with room; an item over capacity opens a bin
+    * of its own that nothing else joins. Returns (id, bin, n) in
+    * placement order. Property-tested in SampleOpsSpec (permutation,
+    * fill bound, mass lower bound, first-fit waste guarantee) and
+    * mirrored by the Python oracle.
+    */
+  private[graft] def ffdPack(items: Seq[(Long, Long)], cap: Long): Seq[(Long, Long, Long)] = {
+    val sorted = items.sortBy { case (id, n) => (-n, id) }
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sorted.map { case (id, n) =>
+      val i = fills.indexWhere(_ + n <= cap)
+      val bin = if (i >= 0) { fills(i) += n; i }
+        else { fills += n; fills.length - 1 } // oversize ⇒ own bin
+      (id, bin.toLong, n)
+    }
+  }
+
   def docPackFfd(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cap = Capacity
@@ -329,15 +347,8 @@ object SampleOps {
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
-        val items = it.map(t => (t._1, t._2)).toArray
-          .sortBy { case (id, n) => (-n, id) } // FFD: longest first, id ties
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-        items.iterator.map { case (id, n) =>
-          val i = fills.indexWhere(_ + n <= cap)
-          val bin = if (i >= 0) { fills(i) += n; i }
-            else { fills += n; fills.length - 1 } // oversize ⇒ own bin
-          (id, shard, bin.toLong, n)
-        }
+        ffdPack(it.map(t => (t._1, t._2)).toSeq, cap).iterator
+          .map { case (id, bin, n) => (id, shard, bin, n) }
       }
       .toDF("doc_id", "shard", "bin", "n_tok")
   }
