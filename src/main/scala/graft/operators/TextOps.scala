@@ -1244,6 +1244,80 @@ object TextOps {
       .agg(sum(col("sgn")).as("wgt"))
       .filter(col("wgt") =!= 0)
 
+  /** Windowed co-occurrence PMI — the word-association table behind
+    * word2vec-era statistics, collocation extraction, and compound-term
+    * detection: count unordered token pairs within a ±2 skip-gram
+    * window, keep the top 100 by count, and score each with pointwise
+    * mutual information ln(c_xy·T² / (P·c_x·c_y)). Every count is an
+    * exact BIGINT; the single ln-of-exact-ratio is rounded to the 1e-6
+    * grid on both engines (the [[docDsirSample]] discipline).
+    *
+    * Scale shape: the pair explode is ≤ 2 slim rows per token (two
+    * short strings), folded by a map-side-combined count; the top-100
+    * cut is TakeOrderedAndProject (per-partition heaps, no global
+    * sort); unigram counts join the 100 survivors via broadcast and the
+    * two scalar totals ride 1-row broadcast attaches.
+    */
+  def docPmiTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(expr("filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), w -> length(w) > 0)").as("t"))
+      .transform(graft.CacheScope.barrier) // pairs + unigrams + total share it
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(t) - 2), i ->
+          |  transform(sequence(i + 1, least(i + 2, size(t) - 1)), j ->
+          |    struct(IF(element_at(t, i + 1) <= element_at(t, j + 1),
+          |              element_at(t, i + 1), element_at(t, j + 1)) AS a,
+          |           IF(element_at(t, i + 1) <= element_at(t, j + 1),
+          |              element_at(t, j + 1), element_at(t, i + 1)) AS b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+      .transform(graft.CacheScope.barrier) // top cut + pair total share it
+    val top = cnt.orderBy(col("c_xy").desc, col("a"), col("b")).limit(100)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tTok = toks.agg(sum(size(col("t"))).as("t_tok"))
+    val pTot = cnt.agg(sum(col("c_xy")).as("p_tot"))
+    top
+      .join(broadcast(uni.select(col("w").as("a"), col("c_w").as("c_x"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("c_w").as("c_y"))), Seq("b"))
+      .crossJoin(broadcast(tTok)) // 1-row scalar attach (whitelisted shape)
+      .crossJoin(broadcast(pTot))
+      .select(col("a"), col("b"), col("c_xy"),
+        expr("""round(ln(CAST(c_xy AS DOUBLE) * CAST(t_tok AS DOUBLE) * CAST(t_tok AS DOUBLE)
+               |  / (CAST(p_tot AS DOUBLE) * CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6)"""
+          .stripMargin).as("pmi"))
+  }
+
+  val docPmiTopSql: String =
+    """WITH tok AS (
+      |  SELECT list_filter(string_split(trim(
+      |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    w -> length(w) > 0) AS t
+      |  FROM documents),
+      |pl AS (
+      |  SELECT unnest(flatten(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i ->
+      |    list_transform(range(i + 1, least(i + 2, len(t)) + 1), j ->
+      |      struct_pack(
+      |        a := CASE WHEN t[i] <= t[j] THEN t[i] ELSE t[j] END,
+      |        b := CASE WHEN t[i] <= t[j] THEN t[j] ELSE t[i] END))))) AS p
+      |  FROM tok),
+      |pr AS (SELECT p.a AS a, p.b AS b FROM pl),
+      |cnt AS (SELECT a, b, count(*) AS c_xy FROM pr GROUP BY a, b),
+      |top AS (SELECT * FROM cnt ORDER BY c_xy DESC, a, b LIMIT 100),
+      |uni AS (SELECT w, count(*) AS c_w
+      |        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+      |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS t_tok FROM tok),
+      |pt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS p_tot FROM cnt)
+      |SELECT top.a, top.b, top.c_xy,
+      |  round(ln(CAST(c_xy AS DOUBLE) * CAST(t_tok AS DOUBLE) * CAST(t_tok AS DOUBLE)
+      |    / (CAST(p_tot AS DOUBLE) * CAST(ux.c_w AS DOUBLE) * CAST(uy.c_w AS DOUBLE))), 6) AS pmi
+      |FROM top
+      |JOIN uni ux ON top.a = ux.w
+      |JOIN uni uy ON top.b = uy.w
+      |CROSS JOIN tot CROSS JOIN pt""".stripMargin
+
   val docEmbedHashSql: String =
     """SELECT doc_id, dim, wgt FROM (
       |  SELECT doc_id,
