@@ -188,7 +188,8 @@ class PlanSpec extends SparkSpec {
       "emb_range_search", // query-side broadcast vs inequality, like emb_knn
       "emb_outlier", // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
       "ev_rfm", // 1-row (gmax, n_users) scalar attach, like doc_tfidf_top
-      "ev_wau") // 1-row day-bounds scalar attach, same pattern
+      "ev_wau", // 1-row day-bounds scalar attach, same pattern
+      "doc_pmi_top") // two 1-row total broadcasts (T tokens, P pairs), doc_dsir pattern
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
