@@ -194,6 +194,48 @@ object CorpusPipeline {
       |  (10000 * CAST(sum(is_dup) AS BIGINT)) // count(*) AS dup_bps
       |FROM f GROUP BY source""".stripMargin
 
+  /** The COMPLETE corpus release pipeline as one oracle-gated query —
+    * every best-practice stage a pretraining data release runs, composed
+    * end to end: keep-best near-dup dedup → benchmark decontamination →
+    * eval-slice exclusion → quality gate ([[corpusPreparedBest]]'s
+    * survivor set) → LEAKAGE-SAFE train/val/test assignment
+    * ([[SampleOps.docSplitSafe]] — near-dup clusters move whole, so a
+    * surviving doc can never land in train while its near-duplicate
+    * anchors an eval set) → whole-document FFD sequence packing per
+    * (split, shard) ([[SampleOps.ffdPack]]). Emits the loader manifest:
+    * (doc_id, split, shard, bin, n_tok).
+    *
+    * A hash-green row here proves SIX operators compose exactly — the
+    * dedup clusters feed both the survivor set and the split keys (one
+    * memoized CC run serves both), and any upstream drop re-shapes every
+    * downstream bin. Scale shape inherits from the parts: broadcast drop
+    * lists, scan-fused gates, cluster labels broadcast, and the packing
+    * exchange carries (doc_id, n_tok, split, shard) only. Oracle: the
+    * stages through the split are the EXISTING DuckDB oracle SQL
+    * composed by the Python reference (tools/compare.py), which then
+    * runs the same FFD; driver gate records rows-only.
+    */
+  def corpusRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns.h32Sql
+    val cap = SampleOps.Capacity
+    val survivors = corpusPreparedBest(spark, sfDir)
+      .select(col("doc_id"), col("n_tok"))
+    val split = SampleOps.docSplitSafe(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    survivors.join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("split"),
+        expr(s"${h32Sql("concat('rel|', cast(doc_id as string))")} % ${SampleOps.FfdShards}")
+          .as("shard"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(Long, Long, String, Long)]) =>
+        SampleOps.ffdPack(it.map(t => (t._1, t._2)).toSeq, cap).iterator
+          .map { case (id, bin, n) => (id, key._1, key._2, bin, n) }
+      }
+      .toDF("doc_id", "split", "shard", "bin", "n_tok")
+  }
+
   val corpusPreparedSql: String =
     """WITH canon AS (
       |  SELECT min(doc_id) AS doc_id FROM documents

@@ -109,4 +109,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(obs("prepared").get("avg_tokens").asInstanceOf[Double] >= 20.0,
       "quality gate floor must hold in the observed metric")
   }
+
+  test("corpus_release: manifest invariants — coverage, capacity, leakage") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rel = graft.operators.CorpusPipeline.corpusRelease(spark, sf).cache()
+    try {
+      // exactly the survivor set, each doc once
+      val surv = graft.operators.CorpusPipeline.corpusPreparedBest(spark, sf)
+        .select(col("doc_id"))
+      assert(rel.select(col("doc_id")).exceptAll(surv).isEmpty &&
+        surv.exceptAll(rel.select(col("doc_id"))).isEmpty,
+        "release manifest must cover the survivor set exactly once")
+      // packing capacity per (split, shard, bin) for packable docs
+      val cap = graft.operators.SampleOps.Capacity
+      val over = rel.groupBy(col("split"), col("shard"), col("bin"))
+        .agg(sum(col("n_tok")).as("fill"), max(col("n_tok")).as("mx"))
+        .filter(col("mx") <= cap && col("fill") > cap)
+      assert(over.isEmpty, "a released bin exceeds capacity")
+      // leakage guard survives the composition: released near-dup cluster
+      // members still share a split
+      val labels = graft.operators.DedupOps.dedupClusters(spark, sf)
+      val bad = rel.join(labels, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1)
+      assert(bad.isEmpty, "released near-dups straddle the train/eval split")
+    } finally { rel.unpersist(); CacheScope.release() }
+  }
 }

@@ -148,6 +148,51 @@ def oracle_doc_pack_ffd(con, cap=2048, shards=32):
     return out
 
 
+# Set by main() to the run's oracle_sql.json map — composite Python
+# oracles reuse the committed SQL of their component stages instead of
+# duplicating it here.
+ORACLE_SQL = {}
+
+
+def oracle_corpus_release(con, cap=2048, shards=32):
+    """Composite reference for the full release pipeline: the survivor set
+    and the leakage-safe split are the EXISTING DuckDB oracles
+    (corpus_prepared_best, doc_split_safe) run verbatim; the per-
+    (split, shard) FFD packing is the same pure algorithm as
+    oracle_doc_pack_ffd with the 'rel|' shard salt. Requires both
+    component SQL entries in the run's oracle_sql.json (subset verify
+    runs must include them).
+    """
+    import hashlib
+
+    for dep in ("corpus_prepared_best", "doc_split_safe"):
+        if dep not in ORACLE_SQL:
+            raise RuntimeError(f"corpus_release oracle needs {dep} SQL in this run")
+    surv = con.execute(ORACLE_SQL["corpus_prepared_best"]).fetch_df()
+    split = con.execute(ORACLE_SQL["doc_split_safe"]).fetch_df()
+    split_of = dict(zip(split["doc_id"], split["split"]))
+    groups = {}
+    for did, n_tok in zip(surv["doc_id"], surv["n_tok"]):
+        h = int(hashlib.md5(f"rel|{did}".encode()).hexdigest()[:8], 16)
+        groups.setdefault((split_of[did], h % shards), []).append((int(did), int(n_tok)))
+    out = []
+    for (sp, shard), items in groups.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        fills = []
+        for did, n in items:
+            for i, f in enumerate(fills):
+                if f + n <= cap:
+                    fills[i] += n
+                    bin_id = i
+                    break
+            else:
+                fills.append(n)
+                bin_id = len(fills) - 1
+            out.append({"doc_id": did, "split": sp, "shard": shard,
+                        "bin": bin_id, "n_tok": n})
+    return out
+
+
 def oracle_ev_attribution_markov(con):
     """From-scratch reference for Markov removal-effect attribution,
     mirroring EventOps.evAttributionMarkov op for op: per-user journeys
@@ -226,7 +271,8 @@ PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "doc_bpe_train": oracle_doc_bpe_train,
               "doc_bpe_apply": oracle_doc_bpe_apply,
               "doc_pack_ffd": oracle_doc_pack_ffd,
-              "ev_attribution_markov": oracle_ev_attribution_markov}
+              "ev_attribution_markov": oracle_ev_attribution_markov,
+              "corpus_release": oracle_corpus_release}
 
 
 def canon(rows):
@@ -261,6 +307,8 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    global ORACLE_SQL
+    ORACLE_SQL = oracle
     n_pass = n_fail = 0
 
     # Above-sf0.01 gate runs: some oracle twins are deliberately quadratic
