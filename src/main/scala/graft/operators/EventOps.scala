@@ -1314,6 +1314,77 @@ object EventOps {
   // Python reference in tools/compare.py mirrors the chain construction
   // and elimination op for op (PY_ORACLES); driver gate records rows-only.
 
+  /** PageRank over the event-type transition graph — which states
+    * centralize user flows (the graph-analytics readout over the SAME
+    * first-order transition counts as [[evTransitions]]; complements
+    * [[evAttributionMarkov]], which scores conversion credit rather than
+    * structural centrality).
+    *
+    * Scale: the corpus-sized work is ONE user-keyed window pass + a
+    * (src, dst) count aggregate — at 100 TB that is the identical plan
+    * shape as ev_transitions (one exchange on user_id, one on the pair
+    * key). What reaches the driver is ≤ |event taxonomy|² slim count
+    * rows — a decision table bounded by the event-type vocabulary, never
+    * by data volume. The power iteration (30 rounds, damping 0.85,
+    * dangling mass redistributed uniformly) runs on that table in fixed
+    * node order (sorted names), so the doubles are bit-deterministic
+    * across partitionings and retries; the Python oracle mirrors the
+    * scatter loop op for op (evAttributionMarkov precedent). Exact
+    * BIGINT in/out transition totals ride along as integer anchors.
+    */
+  def evPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val counts = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // ≤ taxonomy² decision rows — never data-sized
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val nodes = counts.keysIterator.flatMap { case (s, d) => Seq(s, d) }
+      .toSeq.distinct.sorted
+    val n = nodes.length
+    val outTotal: Map[String, Long] =
+      counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val inTotal: Map[String, Long] =
+      counts.groupBy(_._1._2).map { case (d, m) => d -> m.values.sum }
+    val damp = 0.85
+    val pr = Array.fill(n)(1.0 / n)
+    var it = 0
+    while (it < 30) {
+      val next = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val t = outTotal.getOrElse(nodes(i), 0L)
+        var j = 0
+        if (t == 0L) { // dangling node: mass spreads uniformly
+          while (j < n) { next(j) += pr(i) / n; j += 1 }
+        } else {
+          while (j < n) {
+            val c = counts.getOrElse((nodes(i), nodes(j)), 0L)
+            if (c != 0L) next(j) += pr(i) * (c.toDouble / t.toDouble)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < n) { pr(j) = (1.0 - damp) / n + damp * next(j); j += 1 }
+      it += 1
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    nodes.zipWithIndex.map { case (s, i) =>
+      (s, BigDecimal(pr(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        inTotal.getOrElse(s, 0L), outTotal.getOrElse(s, 0L))
+    }.toDF("state", "pagerank", "in_n", "out_n")
+  }
+  // ev_pagerank oracle: the power iteration is not SQL — a Python
+  // reference in tools/compare.py mirrors the count construction and the
+  // fixed-order scatter op for op (PY_ORACLES); driver gate: rows-only.
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

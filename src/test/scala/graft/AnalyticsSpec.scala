@@ -106,6 +106,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ev_pagerank: distribution sums to 1, floors hold, anchors reconcile") {
+    val rows = EventOps.evPagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val prSum = rows.map(_.getDouble(1)).sum
+    // rounded to 1e-6 per row, so the sum may drift by n/2 ulps of the grid
+    assert(math.abs(prSum - 1.0) <= n * 5e-7,
+      s"pageranks must be a distribution, got sum=$prSum")
+    rows.foreach { r =>
+      // every state keeps at least the teleport floor (1-d)/n
+      assert(r.getDouble(1) >= (1.0 - 0.85) / n - 5e-7, s"below floor: $r")
+    }
+    // every transition leaves one node and enters another: the exact
+    // BIGINT anchors must agree with the ev_transitions total
+    val inSum = rows.map(_.getLong(2)).sum
+    val outSum = rows.map(_.getLong(3)).sum
+    val transitions = EventOps.evTransitions(spark, sf)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(inSum == transitions && outSum == transitions,
+      s"anchor mismatch: in=$inSum out=$outSum transitions=$transitions")
+  }
+
+  test("ev_pagerank: bit-deterministic across runs") {
+    val a = EventOps.evPagerank(spark, sf).collect().toSeq
+    val b = EventOps.evPagerank(spark, sf).collect().toSeq
+    assert(a == b, "power iteration must be bit-deterministic")
+  }
+
   test("corpus_stats: totals reconcile and rates are bounded") {
     val out = CorpusPipeline.corpusStats(spark, sf).cache()
     try {

@@ -265,6 +265,59 @@ def oracle_ev_attribution_markov(con):
             for c, v in re]
 
 
+def oracle_ev_pagerank(con):
+    """From-scratch reference for PageRank over the event-type transition
+    graph, mirroring EventOps.evPagerank op for op: consecutive-event
+    (src, dst) counts per user ordered by (ts, event_id), 30 power
+    iterations at damping 0.85 with uniform dangling redistribution, the
+    scatter loop in the SAME sorted-node fixed order.
+    """
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, event_type FROM events "
+        "ORDER BY user_id, epoch_us(ts), event_id").fetchall()
+    counts = defaultdict(int)
+    prev_uid, prev_et = None, None
+    for uid, _, _, et in rows:
+        if uid == prev_uid:
+            counts[(prev_et, et)] += 1
+        prev_uid, prev_et = uid, et
+
+    nodes = sorted({x for k in counts for x in k})
+    n = len(nodes)
+    out_total = defaultdict(int)
+    in_total = defaultdict(int)
+    for (s, d), c in counts.items():
+        out_total[s] += c
+        in_total[d] += c
+
+    damp = 0.85
+    pr = [1.0 / n] * n
+    for _ in range(30):
+        nxt = [0.0] * n
+        for i in range(n):
+            t = out_total.get(nodes[i], 0)
+            if t == 0:
+                for j in range(n):
+                    nxt[j] += pr[i] / n
+            else:
+                for j in range(n):
+                    c = counts.get((nodes[i], nodes[j]), 0)
+                    if c != 0:
+                        nxt[j] += pr[i] * (c / t)
+        pr = [(1.0 - damp) / n + damp * nxt[j] for j in range(n)]
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                ROUND_HALF_UP))
+
+    return [{"state": s, "pagerank": r6(pr[i]),
+             "in_n": in_total.get(s, 0), "out_n": out_total.get(s, 0)}
+            for i, s in enumerate(nodes)]
+
+
 # Oracles computed in Python instead of DuckDB SQL (driver's gate records
 # these as rows-only; this replica closes the hash check locally).
 PY_ORACLES = {"doc_compress": oracle_doc_compress,
@@ -272,6 +325,7 @@ PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "doc_bpe_apply": oracle_doc_bpe_apply,
               "doc_pack_ffd": oracle_doc_pack_ffd,
               "ev_attribution_markov": oracle_ev_attribution_markov,
+              "ev_pagerank": oracle_ev_pagerank,
               "corpus_release": oracle_corpus_release}
 
 
