@@ -31,6 +31,9 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the transformWithState pipelines (funnel, ab_seq monitor) need the
+    // RocksDB provider; deliberate session-wide opt-in (see StateStores)
+    graft.streaming.StateStores.useRocksDB(spark)
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 

@@ -1230,7 +1230,11 @@ object EventOps {
     * op, so the doubles match bit-for-bit.
     */
   def evAttributionMarkov(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // order on the µs axis (ts div 1000) like every other event op and the
+    // oracle's epoch_us — raw-nanos ordering would tie-break differently
+    // if timestamps ever carry sub-µs precision
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "purchase", "CONV")
@@ -1297,13 +1301,21 @@ object EventOps {
       x(0)
     }
 
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(String, Double, Double)]
+      .toDF("channel", "removal_effect", "attribution")
+    // no conversions → no credit to assign; base == 0 (or a removal set
+    // with zero total effect) would otherwise divide through to NaN rows
+    // that hash-match a mirrored NaN in the oracle while meaning nothing
+    if (convTotal == 0L || channels.isEmpty) return empty
     val base = absorb("START" +: channels)
+    if (!(base > 0.0)) return empty
     val re = channels.map { c =>
       c -> (1.0 - absorb("START" +: channels.filterNot(_ == c)) / base)
     }
     val reSum = re.map(_._2).sum
-    val spark2 = spark
-    import spark2.implicits._
+    if (reSum == 0.0) return empty
     re.map { case (c, r) =>
       (c, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         BigDecimal(convTotal.toDouble * r / reSum)

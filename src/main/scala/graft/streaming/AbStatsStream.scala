@@ -84,8 +84,6 @@ object AbStatsStream {
   def readouts(ds: Dataset[AbEvent]): Dataset[AbReadout] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ds.groupByKey(_.event_type)
       .transformWithState(new AbStatsProcessor(),
         TimeMode.None(), OutputMode.Update())

@@ -62,8 +62,6 @@ object AnomalyStream {
             minPrior: Long = 10): Dataset[AnomalyFlag] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ds.groupByKey(_.user_id)
       .transformWithState(new AnomalyProcessor(k, minPrior),
         TimeMode.None(), OutputMode.Append())

@@ -76,8 +76,6 @@ object CepStream {
   def cep(ds: Dataset[CepEvent]): Dataset[CepEpisode] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ds.groupByKey(_.user_id)
       .transformWithState(new CepProcessor(), TimeMode.None(), OutputMode.Append())
   }

@@ -126,8 +126,6 @@ object CupedStream {
   def readouts(ds: Dataset[CupedEvent]): Dataset[CupedReadout] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ds.groupByKey(_.event_type)
       .transformWithState(new CupedProcessor(),
         TimeMode.None(), OutputMode.Update())

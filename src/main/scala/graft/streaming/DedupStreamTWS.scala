@@ -66,8 +66,6 @@ object DedupStreamTWS {
                       retentionUs: Long = DedupStream.DefaultRetentionUs): Dataset[LogRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val withTs = ds
       .withColumn("__ts", timestamp_micros(col("event_time_us")))
       .withWatermark("__ts", "10 minutes")

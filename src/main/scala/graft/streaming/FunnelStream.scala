@@ -75,8 +75,6 @@ object FunnelStream {
   def funnel(ds: Dataset[FunnelEvent], stages: Seq[String]): Dataset[FunnelUpdate] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ds.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(stages), TimeMode.None(), OutputMode.Append())
   }

@@ -46,9 +46,17 @@ class SeqTestProcessor(tau2: Double = 10000.0, ttl: TTLConfig = TTLConfig.NONE)
 
 object SeqTestStream {
 
-  /** Spark `round(x, 6)` twin (HALF_UP away from zero). */
+  /** Spark `round(x, 6)` twin (HALF_UP away from zero). Non-finite values
+    * pass through like Spark's `round` (and DuckDB's): on a persistent
+    * strong effect se2 shrinks ~1/n and the LR exponent eventually
+    * overflows lam to +Infinity — the batch twin then emits
+    * lambda=Infinity, p_seq=0, and `BigDecimal(Infinity)` would crash the
+    * monitor exactly at its most significant readout.
+    */
   private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (java.lang.Double.isFinite(x))
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else x
 
   /** The batch `ev_ab_seq` finalization, op-for-op; None when the batch
     * row would be filtered (n ≤ 1 or zero variance).
@@ -71,8 +79,6 @@ object SeqTestStream {
   def readouts(ds: Dataset[AbEvent]): Dataset[SeqReadout] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ds.groupByKey(_.event_type)
       .transformWithState(new SeqTestProcessor(),
         TimeMode.None(), OutputMode.Update())

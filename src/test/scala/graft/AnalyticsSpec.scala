@@ -33,6 +33,21 @@ class AnalyticsSpec extends SparkSpec {
       s"partition the raw purchase total ($raw)")
   }
 
+  test("ev_attribution_markov: zero conversions yields an empty frame, not NaN") {
+    // a corpus with no purchase events has convTotal == 0 — removal-effect
+    // division must not produce NaN credit rows (oracle mirrors: returns [])
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mkv").toString
+    Seq(
+      (1L, 1000000L, 1L, "view"), (1L, 2000000L, 2L, "click"),
+      (2L, 1000000L, 3L, "view"), (2L, 3000000L, 4L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(EventOps.evAttributionMarkov(spark, dir).isEmpty,
+      "no-conversion corpus must yield zero attribution rows")
+  }
+
   test("ev_forecast: MAE and WAPE are non-negative and finite") {
     val rows = EventOps.evForecast(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -14,7 +14,7 @@ class CepStreamSpec extends SparkSpec {
 
   private def withRestoredProvider[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    try body
+    try { StateStores.useRocksDB(spark); body }
     finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

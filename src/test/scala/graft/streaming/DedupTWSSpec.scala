@@ -22,6 +22,7 @@ class DedupTWSSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StateStores.useRocksDB(spark)
     val input = MemoryStream[LogRecord]
     val out = DedupStreamTWS.dedupLogRecords(input.toDS()).toDF()
     val qn = s"tws_${System.nanoTime()}"
@@ -57,6 +58,7 @@ class DedupTWSSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StateStores.useRocksDB(spark)
     val input = MemoryStream[LogRecord]
     val out = DedupStreamTWS.dedupLogRecords(input.toDS(),
       windowUs = 40 * Min, retentionUs = 10 * Min).toDF()

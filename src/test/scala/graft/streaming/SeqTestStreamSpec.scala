@@ -13,7 +13,7 @@ class SeqTestStreamSpec extends SparkSpec {
 
   private def withRestoredProvider[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    try body
+    try { StateStores.useRocksDB(spark); body }
     finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -59,6 +59,22 @@ class SeqTestStreamSpec extends SparkSpec {
         }
       } finally q.stop()
     }
+  }
+
+  test("overflowed likelihood ratio emits Infinity/0, never throws") {
+    // a persistent strong effect shrinks se2 ~1/n until the LR exponent
+    // overflows to +Infinity — the monitor must emit the batch twin's
+    // (lambda=Infinity, p_seq=0) row, not crash in BigDecimal(Infinity)
+    val m = AbMoments(na = 100, nb = 100,
+      sa = 100L * 2000000L, sb = 100L * 1000L,
+      // tiny positive within-arm variance: one unit of spread per arm
+      ssa = 99L * 2000000L * 2000000L + 2000001L * 2000001L,
+      ssb = 99L * 1000L * 1000L + 1001L * 1001L)
+    val r = SeqTestStream.finalize("m", m, tau2 = 10000.0)
+    assert(r.nonEmpty)
+    assert(r.get.lambda.isPosInfinity, s"want Infinity, got ${r.get}")
+    assert(r.get.p_seq == 0.0, s"want p_seq 0, got ${r.get}")
+    assert(java.lang.Double.isFinite(r.get.diff))
   }
 
   test("p_seq only tightens as evidence accumulates on a drifting metric") {

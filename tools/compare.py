@@ -256,10 +256,18 @@ def oracle_ev_attribution_markov(con):
     def r(x, places):
         return float(Decimal(repr(x)).quantize(Decimal(places), ROUND_HALF_UP))
 
+    # mirrored zero guards: no conversions / zero base absorption / zero
+    # total removal effect all yield an EMPTY result, not NaN rows
+    if conv_total == 0 or not channels:
+        return []
     base = absorb(["START"] + channels)
+    if not base > 0.0:
+        return []
     re = [(c, 1.0 - absorb(["START"] + [d for d in channels if d != c]) / base)
           for c in channels]
     re_sum = sum(v for _, v in re)
+    if re_sum == 0.0:
+        return []
     return [{"channel": c, "removal_effect": r(v, "0.000001"),
              "attribution": r(conv_total * v / re_sum, "0.0001")}
             for c, v in re]
