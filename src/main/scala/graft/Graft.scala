@@ -25,8 +25,10 @@ object Graft {
     SimHash32.register(spark)
     CharEntropyQ.register(spark)
     JlProject.register(spark)
-    spark.udf.register("weighted_avg",
-      org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg))
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("weighted_avg")))
+      spark.udf.register("weighted_avg",
+        org.apache.spark.sql.functions.udaf(graft.functions.WeightedAvg))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

@@ -18,10 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
   */
 object BloomFns {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+    Kernels.registerOnce(spark,
+      "bloom_might_contain")(
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
 
   /** Serialize a sketch bloom filter to the hex form `x'...'` SQL binary
     * literals take.

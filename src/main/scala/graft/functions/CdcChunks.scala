@@ -88,6 +88,6 @@ object CdcChunkKernel {
 
   /** Register as a SQL function (`cdc_chunks(s)`) on the session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cdc_chunks", exprs => CdcChunks(exprs.head), "built-in")
+    Kernels.registerOnce(spark,
+      "cdc_chunks")( exprs => CdcChunks(exprs.head))
 }

@@ -69,6 +69,6 @@ object CharEntropyQ {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_entropy_q", exprs => CharEntropyQ(exprs.head), "built-in")
+    Kernels.registerOnce(spark,
+      "char_entropy_q")( exprs => CharEntropyQ(exprs.head))
 }

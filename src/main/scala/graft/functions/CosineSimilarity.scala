@@ -110,11 +110,11 @@ object CosineSimilarity {
     * Column-API-only.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    Kernels.registerOnce(spark,
+      "cosine_sim")( exprs => CosineSimilarity(exprs(0), exprs(1)))
 
   /** Register `dot_product(a, b)` (the [[DotProduct]] kernel). */
   def registerDot(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    Kernels.registerOnce(spark,
+      "dot_product")( exprs => DotProduct(exprs(0), exprs(1)))
 }

@@ -78,6 +78,6 @@ object EditWithin1 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ed_within_1", exprs => EditWithin1(exprs(0), exprs(1)), "built-in")
+    Kernels.registerOnce(spark,
+      "ed_within_1")( exprs => EditWithin1(exprs(0), exprs(1)))
 }

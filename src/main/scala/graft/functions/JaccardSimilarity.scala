@@ -67,13 +67,12 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 
 object JaccardSimilarity {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sorted", exprs => JaccardSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "intersect_count_sorted", exprs => IntersectCountSorted(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitmap_and_count", exprs => BitmapAndCount(exprs(0), exprs(1)), "built-in")
+    Kernels.registerOnce(spark,
+      "jaccard_sorted")( exprs => JaccardSimilarity(exprs(0), exprs(1)))
+    Kernels.registerOnce(spark,
+      "intersect_count_sorted")( exprs => IntersectCountSorted(exprs(0), exprs(1)))
+    Kernels.registerOnce(spark,
+      "bitmap_and_count")( exprs => BitmapAndCount(exprs(0), exprs(1)))
   }
 }
 

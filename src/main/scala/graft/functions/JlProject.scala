@@ -97,8 +97,8 @@ object JlProject {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jl_project",
+    Kernels.registerOnce(spark,
+      "jl_project")(
       exprs => {
         val k = if (exprs.length == 2 && exprs(1).foldable) exprs(1).eval(null) else null
         k match {
@@ -106,6 +106,5 @@ object JlProject {
           case _ => throw new IllegalArgumentException(
             "jl_project(v, k) requires a positive integer literal k")
         }
-      },
-      "built-in")
+      })
 }

@@ -60,6 +60,6 @@ case class L2Distance(left: Expression, right: Expression)
 object L2Distance {
   /** Register as a SQL function (`l2_sq(a, b)`) on the session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_sq", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
+    Kernels.registerOnce(spark,
+      "l2_sq")( exprs => L2Distance(exprs(0), exprs(1)))
 }

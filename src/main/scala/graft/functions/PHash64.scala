@@ -84,6 +84,6 @@ object PHash64Kernel {
 
   /** Register as a SQL function (`phash64(s)`) on the session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "phash64", exprs => PHash64(exprs.head), "built-in")
+    Kernels.registerOnce(spark,
+      "phash64")( exprs => PHash64(exprs.head))
 }

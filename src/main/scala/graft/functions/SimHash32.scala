@@ -75,6 +75,6 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    Kernels.registerOnce(spark,
+      "simhash32")( exprs => SimHash32(exprs.head))
 }

@@ -82,6 +82,6 @@ object WinnowKernel {
 
   /** Register as a SQL function (`winnow_fp(s)`) on the session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fp", exprs => WinnowFingerprint(exprs.head), "built-in")
+    Kernels.registerOnce(spark,
+      "winnow_fp")( exprs => WinnowFingerprint(exprs.head))
 }

@@ -116,6 +116,6 @@ object ZValue {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z_value", exprs => ZValue(exprs), "built-in")
+    Kernels.registerOnce(spark,
+      "z_value")( exprs => ZValue(exprs))
 }
