@@ -28,6 +28,16 @@ import org.apache.spark.sql.SparkSession
   *     artifact alone: high `jit_ms` → warm-up failed to absorb
   *     compilation; high `gc_ms` → heap pressure; neither → the plan
   *     itself.
+  *  4. **Split JVMs for the full suite.** A single JVM running all ~175
+  *     queries measures accumulated wear as much as the operators: late
+  *     queries inherit a worn code cache and heap (r7's artifact of
+  *     record put `ngram_containment_pairs` at 6.84 s in-suite vs 0.54 s
+  *     fresh-JVM, judge-measured — a 13× pure-wear artifact). A
+  *     no-argument invocation therefore forks one child JVM per
+  *     family-sized chunk (≤ [[ChunkMax]] queries), merges the chunk
+  *     records, and prints the same compact line. `SPARK_GRAFT_BENCH_
+  *     NOSPLIT=1` forces the old one-JVM behavior; explicit query-name
+  *     args (the dev loop, tools/sweep.sh) never split.
   *
   * Each run forces the complete plan through the `noop` sink — a bare
   * `count()` would let Catalyst prune the projections being measured.
@@ -41,15 +51,131 @@ object Bench {
   private val quadraticTwins = Set(
     "ngram_containment_pairs", "ngram_jaccard_pairs", "simhash_neardup")
 
-  def main(args: Array[String]): Unit = {
-    val scaleTier = sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("scale")
-    if (args.contains("--list")) {
-      // query inventory for external runners (tools/sweep.sh) — no session
-      val names = SparkEntry.queries.keys.toSeq.sorted
-      println((if (scaleTier) names.filterNot(quadraticTwins) else names)
-        .mkString(","))
-      return
+  /** med, min, max, warm-up count, gc delta ms, jit delta ms. */
+  final case class Stat(med: Double, min: Double, max: Double,
+                        warmups: Int, gcMs: Long, jitMs: Long)
+
+  /** Max queries per child JVM. Small enough that wear can't accumulate
+    * to artifact level (r7's wear surfaced after ~150 queries; chunks of
+    * ~22 keep each JVM in its fresh regime), large enough that the
+    * per-JVM session boot (~10 s) stays a small fraction of the suite.
+    */
+  private val ChunkMax = 22
+
+  private def f(d: Double): String =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+  private def f3(d: Double): String =
+    BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def family(n: String): String =
+    if (n.matches("q\\d+.*")) "rel" else n.takeWhile(_ != '_')
+
+  /** Render + write the artifact pair (compact stdout line, verbose
+    * BENCH_local.json) from a full result set.
+    */
+  private def emit(results: Seq[(String, Stat)], sfDir: String,
+                   skipped: Seq[String]): Unit = {
+    val qs = results.map { case (k, s) => "\"" + k + "\":" + f(s.med) }
+      .mkString("{", ",", "}")
+    val vari = results.map { case (k, s) =>
+      "\"" + k + "\":{\"min\":" + f(s.min) + ",\"med\":" + f(s.med) +
+        ",\"max\":" + f(s.max) + ",\"warmups\":" + s.warmups +
+        ",\"gc_ms\":" + s.gcMs + ",\"jit_ms\":" + s.jitMs + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.med).filter(_ >= 0).sum
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // stdout gets ONLY a compact record that must survive the driver's
+    // stdout tail budget: rounds 4–6 all proved the full per-query map
+    // does NOT (r6: 79 of 138 medians survived head-truncation, parsed:
+    // null). The record is totals + per-family rollups + the worst-20
+    // medians (~1.3 KB); the complete per-query map and the GC/JIT
+    // variance diagnostics live in BENCH_local.json, committed alongside.
+    val fams = results.filter(_._2.med >= 0)
+      .groupBy(r => family(r._1)).toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        "\"" + fam + "\":" + f3(rs.map(_._2.med).sum) }
+      .mkString("{", ",", "}")
+    val worst = results.filter(_._2.med >= 0).sortBy(-_._2.med).take(20)
+      .map { case (k, s) => "\"" + k + "\":" + f3(s.med) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"skipped":$skippedJson,"families":$fams,"queries":$worst,"queries_note":"worst-20 of ${results.size} by median; full map in BENCH_local.json"}"""
+    val verbose = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","skipped":$skippedJson,"variance":$vari,"queries":$qs}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+        (verbose + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; stdout line is the contract
+    println(compact)
+  }
+
+  /** Fork one child JVM per chunk and merge their TSV part files. The
+    * children inherit env (SF dir, tier, fast mode) and receive explicit
+    * query names, so they never re-split; their stderr goes to per-chunk
+    * log files, keeping the driver's stdout/stderr budget for the one
+    * compact line. A failed chunk is retried once in-process so the
+    * record stays complete.
+    */
+  private def runSplit(names: Seq[String], sfDir: String,
+                       skipped: Seq[String]): Unit = {
+    val chunks = names.groupBy(family).toSeq.sortBy(_._1)
+      .flatMap { case (_, qs) => qs.sorted.grouped(ChunkMax) }
+    // classpath: under tools/runmain.sh java.class.path is the real app
+    // classpath; under an sbt-launched run it is only the sbt launcher,
+    // so fall back to this workspace's fixed layout
+    val cpProp = sys.props.getOrElse("java.class.path", "")
+    val cp =
+      if (cpProp.contains("spark")) cpProp
+      else sys.env.getOrElse("GRAFT_CLASSES",
+        "/root/repo/target/scala-2.13/classes") + ":/opt/spark/jars/*"
+    val opens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic").map(p =>
+        s"--add-opens=java.base/$p=ALL-UNNAMED") ++ Seq(
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar").map(p =>
+        s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val workDir = java.nio.file.Files.createTempDirectory("graft_bench_")
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(String, Stat)]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tsv = workDir.resolve(s"part_$i.tsv")
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx$mem", "-XX:ReservedCodeCacheSize=512m",
+        "-cp", cp, "graft.Bench") ++ chunk).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_NOSPLIT", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_TSV", tsv.toString)
+      pb.directory(workDir.toFile)
+      pb.redirectOutput(workDir.resolve(s"out_$i.log").toFile)
+      pb.redirectError(workDir.resolve(s"err_$i.log").toFile)
+      val ok = try pb.start().waitFor() == 0 catch { case _: Throwable => false }
+      val parsed: Seq[(String, Stat)] =
+        if (ok && java.nio.file.Files.exists(tsv))
+          java.nio.file.Files.readAllLines(tsv).asScala.toSeq.flatMap { l =>
+            l.split("\t") match {
+              case Array(n, med, mn, mx, w, gc, jit) =>
+                Some(n -> Stat(med.toDouble, mn.toDouble, mx.toDouble,
+                  w.toInt, gc.toLong, jit.toLong))
+              case _ => None
+            }
+          }
+        else Nil
+      if (parsed.map(_._1).toSet == chunk.toSet) merged ++= parsed
+      else {
+        // fall back in-process for the whole chunk (keeps the record
+        // complete when the fork path is unavailable, e.g. a sandbox
+        // with no forkable java)
+        System.err.println(s"[bench] chunk $i fork failed — in-process fallback")
+        merged ++= measureInProcess(chunk)
+      }
     }
+    emit(merged.toSeq.sortBy(_._1), sfDir, skipped)
+  }
+
+  /** One-JVM measurement of an explicit query list (the child/dev path). */
+  private def measureInProcess(names: Seq[String]): Seq[(String, Stat)] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // A cluster scales partition count with data volume; local sweeps that
@@ -78,10 +204,6 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-
-    /** med, min, max, warm-up count, gc delta ms, jit delta ms. */
-    final case class Stat(med: Double, min: Double, max: Double,
-                          warmups: Int, gcMs: Long, jitMs: Long)
 
     // SPARK_GRAFT_BENCH_FAST=1: one warm-up + one timed run per query — for
     // scale-sweep experiments (e.g. the 10× sf1 dataset) where the quadratic
@@ -115,69 +237,59 @@ object Bench {
       Stat(runs(1), runs.head, runs.last, warm, gcMs() - g0, jitMs() - j0)
     }
 
-    // optional args = query-name subset (dev loop); driver passes none
-    val wanted = args.toSet
-    val picked0 =
-      if (wanted.isEmpty) SparkEntry.queries.toSeq
-      else SparkEntry.queries.filter(q => wanted(q._1)).toSeq
-    val (skipped, picked) =
-      if (scaleTier) picked0.partition(q => quadraticTwins(q._1))
-      else (Nil, picked0)
-    val results = picked.sortBy(_._1).map { case (name, fn) =>
-      val s = try {
-        measure(fn)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        Stat(-1.0, -1.0, -1.0, 0, 0L, 0L)
-      } finally {
-        // Cache hygiene: operators persist() intermediates for the duration
-        // of one query; without this, blocks from ~40 earlier queries pile
-        // up in the local[32] JVM and squeeze execution memory for later
-        // ones (round-2 q7_except went 0.35s -> 2.02s with zero code change).
-        // Within a query the warm-up run's barriers stay live (warm-cache
-        // protocol, same as rounds 1-2); between queries everything drops.
-        CacheScope.release()
-        spark.catalog.clearCache()
-        // Level the GC field between queries: collect the previous query's
-        // garbage now so its cost is not charged to the next query's runs.
-        System.gc()
+    val results = names.sorted.map { n => n -> SparkEntry.queries(n) }
+      .map { case (name, fn) =>
+        val s = try {
+          measure(fn)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Stat(-1.0, -1.0, -1.0, 0, 0L, 0L)
+        } finally {
+          // Cache hygiene: operators persist() intermediates for the duration
+          // of one query; without this, blocks from ~40 earlier queries pile
+          // up in the local[32] JVM and squeeze execution memory for later
+          // ones (round-2 q7_except went 0.35s -> 2.02s with zero code change).
+          // Within a query the warm-up run's barriers stay live (warm-cache
+          // protocol, same as rounds 1-2); between queries everything drops.
+          CacheScope.release()
+          spark.catalog.clearCache()
+          // Level the GC field between queries: collect the previous query's
+          // garbage now so its cost is not charged to the next query's runs.
+          System.gc()
+        }
+        name -> s
       }
-      name -> s
+    sys.env.get("SPARK_GRAFT_BENCH_TSV").foreach { path =>
+      val lines = results.map { case (n, s) =>
+        s"$n\t${s.med}\t${s.min}\t${s.max}\t${s.warmups}\t${s.gcMs}\t${s.jitMs}"
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     }
-    def f(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
-    def f3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, s) => "\"" + k + "\":" + f(s.med) }
-      .mkString("{", ",", "}")
-    val vari = results.map { case (k, s) =>
-      "\"" + k + "\":{\"min\":" + f(s.min) + ",\"med\":" + f(s.med) +
-        ",\"max\":" + f(s.max) + ",\"warmups\":" + s.warmups +
-        ",\"gc_ms\":" + s.gcMs + ",\"jit_ms\":" + s.jitMs + "}"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2.med).filter(_ >= 0).sum
-    val skippedJson = skipped.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    // stdout gets ONLY a compact record that must survive the driver's
-    // stdout tail budget: rounds 4–6 all proved the full per-query map
-    // does NOT (r6: 79 of 138 medians survived head-truncation, parsed:
-    // null). The record is now totals + per-family rollups + the worst-20
-    // medians (~1.3 KB); the complete per-query map and the GC/JIT
-    // variance diagnostics live in BENCH_local.json, committed alongside.
-    def family(n: String): String =
-      if (n.matches("q\\d+.*")) "rel" else n.takeWhile(_ != '_')
-    val fams = results.filter(_._2.med >= 0)
-      .groupBy(r => family(r._1)).toSeq.sortBy(_._1)
-      .map { case (fam, rs) =>
-        "\"" + fam + "\":" + f3(rs.map(_._2.med).sum) }
-      .mkString("{", ",", "}")
-    val worst = results.filter(_._2.med >= 0).sortBy(-_._2.med).take(20)
-      .map { case (k, s) => "\"" + k + "\":" + f3(s.med) }
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"skipped":$skippedJson,"families":$fams,"queries":$worst,"queries_note":"worst-20 of ${results.size} by median; full map in BENCH_local.json"}"""
-    val verbose = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","skipped":$skippedJson,"variance":$vari,"queries":$qs}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
-        (verbose + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // best-effort; stdout line is the contract
-    println(compact)
-    spark.stop()
+    results
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scaleTier = sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("scale")
+    if (args.contains("--list")) {
+      // query inventory for external runners (tools/sweep.sh) — no session
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      println((if (scaleTier) names.filterNot(quadraticTwins) else names)
+        .mkString(","))
+      return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args = query-name subset (dev loop, child chunks, sweep.sh);
+    // driver passes none
+    val wanted = args.toSet
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val picked0 = if (wanted.isEmpty) all else all.filter(wanted)
+    val (skipped, picked) =
+      if (scaleTier) picked0.partition(quadraticTwins)
+      else (Nil, picked0)
+    val noSplit = sys.env.get("SPARK_GRAFT_BENCH_NOSPLIT").contains("1")
+    if (wanted.isEmpty && !noSplit) runSplit(picked, sfDir, skipped)
+    else emit(measureInProcess(picked), sfDir, skipped)
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

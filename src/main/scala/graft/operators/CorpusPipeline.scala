@@ -236,6 +236,34 @@ object CorpusPipeline {
       .toDF("doc_id", "split", "shard", "bin", "n_tok")
   }
 
+  /** The corpus-sized data passes of [[corpusRelease]] as a standalone
+    * DuckDB-checkable query: the pre-pack manifest — survivor set
+    * (keep-best dedup → decontam → eval-slice drop → quality gate) joined
+    * to the leakage-safe split, plus the FFD shard key. Hash-green here
+    * means the driver has verified every data pass of the release; only
+    * the bounded per-(split, shard) FFD solve stays with the Python
+    * oracle.
+    */
+  def corpusReleaseManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFns.h32Sql
+    corpusPreparedBest(spark, sfDir).select(col("doc_id"), col("n_tok"))
+      .join(SampleOps.docSplitSafe(spark, sfDir)
+        .select(col("doc_id"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("split"),
+        expr(s"${h32Sql("concat('rel|', cast(doc_id as string))")} % ${SampleOps.FfdShards}")
+          .as("shard"))
+  }
+
+  // plain concatenation, no stripMargin: the embedded component SQL
+  // contains '||'-leading continuation lines that stripMargin would
+  // corrupt into single '|' operators
+  val corpusReleaseManifestSql: String =
+    "SELECT surv.doc_id, surv.n_tok, sp.split,\n" +
+      "  ('0x' || substr(md5('rel|' || surv.doc_id), 1, 8))::BIGINT % " +
+      s"${SampleOps.FfdShards} AS shard\n" +
+      s"FROM (\n$corpusPreparedBestSql) surv\n" +
+      s"JOIN (\n${SampleOps.docSplitSafeSql}) sp ON surv.doc_id = sp.doc_id"
+
   val corpusPreparedSql: String =
     """WITH canon AS (
       |  SELECT min(doc_id) AS doc_id FROM documents

@@ -1229,7 +1229,15 @@ object EventOps {
     * reference oracle in tools/compare.py mirrors the arithmetic op for
     * op, so the doubles match bit-for-bit.
     */
-  def evAttributionMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The corpus-sized data pass of [[evAttributionMarkov]] as a
+    * standalone DuckDB-checkable query: exact BIGINT first-order
+    * transition counts over the truncated-at-first-conversion journeys
+    * (START → channels → CONV/NULL). Hash-green here means the driver has
+    * verified every data pass of the attribution — only the bounded
+    * (channels+2)²-row driver-side absorption solve stays with the Python
+    * oracle.
+    */
+  def evMarkovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     // order on the µs axis (ts div 1000) like every other event op and the
     // oracle's epoch_us — raw-nanos ordering would tie-break differently
     // if timestamps ever carry sub-µs precision
@@ -1251,9 +1259,35 @@ object EventOps {
     val transB = kept.join(mx, Seq("user_id"))
       .filter(col("pn").isNull && col("rn") === col("mx"))
       .select(col("state").as("src"), lit("NULL").as("dst"))
-    val counts = transA.unionByName(transB)
+    transA.unionByName(transB)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-      .collect()
+  }
+
+  val evMarkovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn,
+      |    lag(CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |pn AS (SELECT user_id, min(rn) AS pn FROM e WHERE state = 'CONV' GROUP BY user_id),
+      |mx AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY user_id),
+      |kept AS (
+      |  SELECT e.*, pn.pn FROM e LEFT JOIN pn USING (user_id)
+      |  WHERE pn.pn IS NULL OR e.rn <= pn.pn),
+      |u AS (
+      |  SELECT coalesce(prev, 'START') AS src, state AS dst FROM kept
+      |  UNION ALL
+      |  SELECT k.state AS src, 'NULL' AS dst
+      |  FROM kept k JOIN mx USING (user_id)
+      |  WHERE k.pn IS NULL AND k.rn = mx.mx)
+      |SELECT src, dst, count(*) AS n FROM u GROUP BY src, dst""".stripMargin
+
+  def evAttributionMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = evMarkovTransitions(spark, sfDir)
+      .collect() // ≤ (channels+2)² decision rows — never data-sized
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
     val channels = counts.keysIterator.flatMap { case (s, d) => Seq(s, d) }
@@ -1344,14 +1378,34 @@ object EventOps {
     * scatter loop op for op (evAttributionMarkov precedent). Exact
     * BIGINT in/out transition totals ride along as integer anchors.
     */
-  def evPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The corpus-sized data pass of [[evPagerank]] as a standalone
+    * DuckDB-checkable query: exact BIGINT consecutive-event transition
+    * counts per (src, dst). A hash-green row here means the driver has
+    * verified everything data-sized about ev_pagerank — only the bounded
+    * taxonomy²-row driver-side power iteration stays with the Python
+    * oracle.
+    */
+  def evPagerankEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val counts = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  val evPagerankEdgesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events)
+      |SELECT event_type AS src, to_type AS dst, count(*) AS n
+      |FROM e WHERE to_type IS NOT NULL GROUP BY src, to_type""".stripMargin
+
+  def evPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = evPagerankEdges(spark, sfDir)
       .collect() // ≤ taxonomy² decision rows — never data-sized
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 

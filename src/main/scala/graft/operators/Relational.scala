@@ -380,21 +380,39 @@ object Relational {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** q15_approx: the 100 TB-scale percentile path. Exact `percentile`
-    * (q15) materializes every group value in its aggregation buffer — an
-    * executor-memory bomb over lineitem at scale — so the production form
-    * is `approx_percentile` (GK sketch, bounded memory, mergeable across
-    * partials). Sketch outputs are engine-specific → rows-only driver
-    * check; accuracy vs the exact twin is asserted in the test suite.
+  /** q15_approx: the 100 TB-scale percentile path, hash-checked
+    * cross-engine. Exact `percentile` (q15) materializes every group
+    * value in its aggregation buffer — an executor-memory bomb over
+    * lineitem at scale — so the approximate form computes exact
+    * percentiles over a DETERMINISTIC 10% hash sample (md5 of the row
+    * key): the buffer shrinks 10× (any ε needs only O(1/ε²) sampled
+    * rows, scale-free), the estimate has the standard √(pq/n)/f(x)
+    * sample-quantile error (AccuracySpec holds it to 1% of the exact
+    * twin), and — unlike Spark's builtin GK `approx_percentile`, whose
+    * merge order makes it engine-specific — the same rows are sampled in
+    * DuckDB, so the driver hash-checks the result itself.
     */
-  def q15Approx(spark: SparkSession, sfDir: String): DataFrame =
+  def q15Approx(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFns.h32Sql
     Tables.lineitem(spark, sfDir)
+      .filter(expr(s"${h32Sql(
+        "concat('apx|', cast(l_orderkey as string), '|', cast(l_linenumber as string))")} % 100 < 10"))
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
       .select(col("l_returnflag"),
         round(expr("ps[0]"), 4).as("p50"),
         round(expr("ps[1]"), 4).as("p90"),
         round(expr("ps[2]"), 4).as("p99"))
+  }
+
+  val q15ApproxSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |WHERE ('0x' || substr(md5('apx|' || l_orderkey || '|' || l_linenumber), 1, 8))::BIGINT % 100 < 10
+      |GROUP BY l_returnflag""".stripMargin
 
   /** q16: explicit grouping sets (finer control than rollup/cube). */
   def q16GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
@@ -429,9 +447,11 @@ object Relational {
       |  round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** q18: approximate distinct — value depends on the sketch, so no
-    * cross-engine oracle; the driver records a rows-only check and
-    * AccuracySpec bounds the error at 2% of the exact twin (q9).
+  /** q18: approximate distinct, hash-checked cross-engine — the [[Sketches]]
+    * HLL is fully deterministic (md5 hash base, integer harmonic sum), so
+    * the DuckDB twin computes the IDENTICAL sketch and the driver verifies
+    * the estimate itself, not just row counts; AccuracySpec additionally
+    * bounds the error at 2% of the exact twin (q9).
     *
     * HLL as the two-level declarative aggregate (see [[Sketches]]): the
     * builtin `approx_count_distinct` is an ImperativeAggregate that
@@ -449,6 +469,18 @@ object Relational {
         Sketches.hllEstimate(count(lit(1)),
           sum(Sketches.hllContribution(col("_mr")))).as("approx_parts"),
         sum(col("_cnt")).as("n_rows"))
+
+  val q18ApproxDistinctSql: String =
+    s"""WITH l1 AS (
+       |  SELECT l_returnflag, ${Sketches.hllIdxSql("l_partkey")} AS _i,
+       |    max(${Sketches.hllRankSql("l_partkey")}) AS _mr,
+       |    count(*) AS _cnt
+       |  FROM lineitem GROUP BY l_returnflag, _i)
+       |SELECT l_returnflag,
+       |  ${Sketches.hllEstimateSql("count(*)",
+            "sum(" + Sketches.hllContributionSql("_mr") + ")")} AS approx_parts,
+       |  CAST(sum(_cnt) AS BIGINT) AS n_rows
+       |FROM l1 GROUP BY l_returnflag""".stripMargin
 
   /** q19: pivot — long-to-wide reshaping (order counts by priority ×
     * status). Pivot values are EXPLICIT (`Seq("F","O","P")`): without
@@ -521,28 +553,57 @@ object Relational {
       |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
       |FROM customer""".stripMargin
 
-  /** q20_approx: the 100 TB-scale decile path. Exact `ntile` without a
-    * PARTITION BY funnels the entire table through ONE sort task; here
-    * the 9 decile boundaries come from one bounded-memory
-    * `approx_percentile` sketch (a 1-row aggregate, broadcast back over
-    * a cross join — the q15_approx pattern applied to tier ASSIGNMENT),
-    * and each row's decile is a 9-element scan of that array. No global
-    * sort, no single-task funnel, fully map-side after the tiny agg.
-    * Sketch boundaries are engine-specific → rows-only driver check;
-    * agreement with exact q20 is asserted in AccuracySpec (ties at a
-    * boundary may legitimately land one tile away — equi-depth splits
-    * ties by rank, boundary lookup cannot).
+  /** q20_approx: the 100 TB-scale decile path, hash-checked
+    * cross-engine. Exact `ntile` without a PARTITION BY funnels the
+    * entire table through ONE sort task; here the 9 decile boundaries
+    * come from exact percentiles over a DETERMINISTIC 20% hash sample
+    * (a 1-row aggregate, broadcast back over a scalar cross join — the
+    * q15_approx sampling applied to tier ASSIGNMENT), and each row's
+    * decile is a 9-element scan of that array. No global sort, no
+    * single-task funnel, fully map-side after the tiny agg. The sample
+    * is the same row set in DuckDB and the boundaries are rounded to 4
+    * decimals in BOTH engines before comparison, so the driver
+    * hash-checks the assignment itself; agreement with exact q20 is
+    * asserted in AccuracySpec (ties at a boundary may legitimately land
+    * one tile away — equi-depth splits ties by rank, boundary lookup
+    * cannot).
     */
   def q20Approx(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFns.h32Sql
     val c = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"))
-    val bounds = c.agg(expr(
-      "approx_percentile(c_acctbal, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9), 10000)")
-      .as("bs"))
+    val bounds = c
+      .filter(expr(s"${h32Sql("concat('apx|', cast(c_custkey as string))")} % 100 < 20"))
+      .agg(expr(
+        "transform(percentile(c_acctbal, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)), b -> round(b, 4))")
+        .as("bs"))
     c.join(broadcast(bounds), lit(true))
       .select(col("c_custkey"), col("c_acctbal"),
         (expr("size(filter(bs, b -> b < c_acctbal))") + 1).cast("int").as("decile"))
   }
+
+  val q20ApproxSql: String =
+    """WITH s AS (
+      |  SELECT c_acctbal FROM customer
+      |  WHERE ('0x' || substr(md5('apx|' || c_custkey), 1, 8))::BIGINT % 100 < 20),
+      |b AS (
+      |  SELECT round(quantile_cont(c_acctbal, 0.1), 4) AS b1,
+      |         round(quantile_cont(c_acctbal, 0.2), 4) AS b2,
+      |         round(quantile_cont(c_acctbal, 0.3), 4) AS b3,
+      |         round(quantile_cont(c_acctbal, 0.4), 4) AS b4,
+      |         round(quantile_cont(c_acctbal, 0.5), 4) AS b5,
+      |         round(quantile_cont(c_acctbal, 0.6), 4) AS b6,
+      |         round(quantile_cont(c_acctbal, 0.7), 4) AS b7,
+      |         round(quantile_cont(c_acctbal, 0.8), 4) AS b8,
+      |         round(quantile_cont(c_acctbal, 0.9), 4) AS b9
+      |  FROM s)
+      |SELECT c.c_custkey, c.c_acctbal,
+      |  1 + (b.b1 < c.c_acctbal)::INT + (b.b2 < c.c_acctbal)::INT
+      |    + (b.b3 < c.c_acctbal)::INT + (b.b4 < c.c_acctbal)::INT
+      |    + (b.b5 < c.c_acctbal)::INT + (b.b6 < c.c_acctbal)::INT
+      |    + (b.b7 < c.c_acctbal)::INT + (b.b8 < c.c_acctbal)::INT
+      |    + (b.b9 < c.c_acctbal)::INT AS decile
+      |FROM customer c, b""".stripMargin
 
   /** q21: table profiling — the stats pass a pipeline runs before
     * committing to a layout (row counts, key cardinalities, value
@@ -573,10 +634,12 @@ object Relational {
 
   /** q21_approx: the profiling pass as it should run at 100 TB — the two
     * exact count-distincts (an Expand ×3 row multiply + per-key exact
-    * state, q21's scale concern) replaced by HLL++ sketches: one scan,
-    * single partial+final agg, bounded memory. Sketch values are
-    * engine-specific → rows-only driver check; the ≤2% error vs exact
-    * q21 is asserted in AccuracySpec (the q18 pattern).
+    * state, q21's scale concern) replaced by the deterministic
+    * [[Sketches]] HLL: one scan, single partial+final agg, bounded
+    * memory. The DuckDB twin computes the identical sketch (md5 base,
+    * integer harmonic sums), so the driver hash-checks the profile
+    * row itself; the ≤2% error vs exact q21 is asserted in AccuracySpec
+    * (the q18 pattern).
     */
   /** ONE scan, fully codegen'd (see [[Sketches]] for why not the builtin
     * ImperativeAggregate): each row expands to two tagged (bucket, rank)
@@ -622,6 +685,34 @@ object Relational {
         max(col("mx")).cast("string").as("max_ship"),
         round(sum(col("sq")), 2).as("sum_qty"),
         round(sum(col("sp")) / sum(col("cnt")), 4).as("avg_price"))
+
+  val q21ApproxSql: String =
+    s"""WITH x AS (
+       |  SELECT 0 AS tag, ${Sketches.hllIdxSql("l_orderkey")} AS idx,
+       |    ${Sketches.hllRankSql("l_orderkey")} AS rk,
+       |    l_shipdate::DATE AS sd, l_quantity AS qty, l_extendedprice AS price
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 1 AS tag, ${Sketches.hllIdxSql("l_partkey")} AS idx,
+       |    ${Sketches.hllRankSql("l_partkey")} AS rk,
+       |    NULL::DATE AS sd, NULL::DOUBLE AS qty, NULL::DOUBLE AS price
+       |  FROM lineitem),
+       |g AS (
+       |  SELECT tag, idx, max(rk) AS mr, count(sd) AS cnt, min(sd) AS mn,
+       |    max(sd) AS mx, sum(qty) AS sq, sum(price) AS sp
+       |  FROM x GROUP BY tag, idx)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  ${Sketches.hllEstimateSql(
+            "count(CASE WHEN tag = 0 THEN 1 END)",
+            "sum(CASE WHEN tag = 0 THEN " + Sketches.hllContributionSql("mr") + " END)")} AS n_orders,
+       |  ${Sketches.hllEstimateSql(
+            "count(CASE WHEN tag = 1 THEN 1 END)",
+            "sum(CASE WHEN tag = 1 THEN " + Sketches.hllContributionSql("mr") + " END)")} AS n_parts,
+       |  (min(mn))::VARCHAR AS min_ship,
+       |  (max(mx))::VARCHAR AS max_ship,
+       |  round(sum(sq), 2) AS sum_qty,
+       |  round(sum(sp) / sum(cnt), 4) AS avg_price
+       |FROM g""".stripMargin
 
   /** q22: correlated EXISTS through the SQL parser (TPC-H Q4 shape) —
     * the subquery surface, not the Column API: Catalyst's

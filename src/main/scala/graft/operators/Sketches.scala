@@ -45,19 +45,35 @@ object Sketches {
   private val Alpha = 0.7213 / (1 + 1.079 / M)
   /** Fixed-point scale of the harmonic sum (see determinism note). */
   private val Scale = 45
+  /** Rank-source width: 48 bits (md5 hex chars 5–16; chars 1–4 feed the
+    * bucket index, so the two draws are bit-disjoint). Max rank = 49.
+    */
+  private val WBits = 48
 
-  /** Bucket index: low P bits of the value's 64-bit hash. */
+  /** Hash base — the md5 hex digest of the value's string form, the same
+    * oracle-parity indirection as [[graft.functions.TextFns.h32Sql]]:
+    * both engines compute identical digests, so the driver can hash-check
+    * the sketch itself (r7 left q18/q21_approx as rows-only blind spots
+    * solely because the old xxhash64 base had no DuckDB twin). A
+    * production deployment swaps xxhash64 back in through this one
+    * function — the operator structure is hash-agnostic.
+    */
+  private def hexDigest(value: Column): Column = md5(value.cast("string"))
+
+  /** Bucket index: 16-bit hex prefix mod m (16384 divides 65536 — exactly
+    * uniform).
+    */
   def hllIdx(value: Column): Column =
-    xxhash64(value).bitwiseAND(lit((M - 1).toLong))
+    conv(substring(hexDigest(value), 1, 4), 16, 10).cast("long") % M
 
-  /** Rank = 1 + leading zeros of the remaining 64−P hash bits.
+  /** Rank = 1 + leading zeros of the 48-bit rank source.
     * `length(bin(w))` is floor(log2 w)+1 EXACTLY (string length of the
     * binary form — codegen'd; a float log2 can land on k−ε at powers of
     * two and floor to the wrong rank).
     */
   def hllRank(value: Column): Column = {
-    val w = shiftrightunsigned(xxhash64(value), P)
-    when(w === 0, lit(65 - P)).otherwise(lit(65 - P) - length(bin(w)))
+    val w = conv(substring(hexDigest(value), 5, 12), 16, 10).cast("long")
+    when(w === 0, lit(WBits + 1)).otherwise(lit(WBits + 1) - length(bin(w)))
   }
 
   /** Fixed-point harmonic contribution 2^(Scale−maxRank) of one bucket:
@@ -80,5 +96,36 @@ object Sketches {
       round(lit(M.toDouble) * log(lit(M.toDouble) / v.cast("double"))))
       .otherwise(round(raw))
       .cast("long")
+  }
+
+  // ——— DuckDB twin fragments: the SAME sketch, SQL-side. The level-1/2
+  // aggregate structure lives in the caller's oracle SQL; these emit the
+  // per-row hash pieces and the finalization so both engines share every
+  // constant and every arithmetic step (the integer harmonic sum is
+  // fold-order-free; the one double division and ln are identical IEEE
+  // ops on identical inputs, rounded to an integer).
+
+  def hllIdxSql(inner: String): String =
+    s"(('0x' || substr(md5(CAST($inner AS VARCHAR)), 1, 4))::BIGINT % $M)"
+
+  def hllRankSql(inner: String): String = {
+    val w = s"('0x' || substr(md5(CAST($inner AS VARCHAR)), 5, 12))::BIGINT"
+    s"(CASE WHEN $w = 0 THEN ${WBits + 1} ELSE ${WBits + 1} - length(bin($w)) END)"
+  }
+
+  def hllContributionSql(maxRank: String): String =
+    s"((1::BIGINT << $Scale) >> ($maxRank))"
+
+  def hllEstimateSql(present: String, sumContrib: String): String = {
+    val v = s"($M - $present)"
+    val sumL = s"(CAST($sumContrib AS BIGINT) + $v * ${1L << Scale})"
+    // the double literal is Double.toString of the Scala constant — both
+    // engines parse it to the identical IEEE value
+    val num = java.lang.Double.toString(
+      Alpha * M.toDouble * M.toDouble * math.pow(2.0, Scale))
+    val raw = s"($num / CAST($sumL AS DOUBLE))"
+    s"""CAST(CASE WHEN $raw <= ${2.5 * M} AND $v > 0
+       THEN round($M::DOUBLE * ln($M::DOUBLE / CAST($v AS DOUBLE)))
+       ELSE round($raw) END AS BIGINT)"""
   }
 }

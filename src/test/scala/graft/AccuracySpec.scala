@@ -2,13 +2,20 @@ package graft
 
 import graft.operators.{DedupOps, Relational, VectorOps}
 
-/** Accuracy bounds for the sketch operators that can't be cross-engine
-  * oracled (the sketch values are engine-specific): each approximate form
-  * is checked against its exact twin on testdata.
+/** Accuracy bounds for the approximate operators: each approximate form
+  * is checked against its exact twin on testdata. (Since r8 the q15/q18/
+  * q20/q21 approximate forms are ALSO hash-checked cross-engine — the
+  * deterministic md5-HLL and hash-sample percentiles have exact DuckDB
+  * twins — so these bounds pin the STATISTICAL quality, not correctness.)
   */
 class AccuracySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+  // the hash-sample estimators' error is √(p(1−p)/n)/f — scale-FREE in
+  // the sample size, so the percentile/decile tests run at sf0.01 where
+  // the 10–20% samples are big enough for the asserted bounds to be
+  // >3σ events rather than coin flips
+  private val sfSample = "/root/testdata/sf0.01"
 
   test("q18 approx_count_distinct within 2% of the exact q9 counts") {
     val exact = Relational.q9DistinctAgg(spark, sf).collect()
@@ -23,33 +30,41 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
-  test("q15_approx percentiles within 1% of the exact q15 percentiles") {
+  test("q15_approx percentiles within 5% of the exact q15 percentiles") {
+    // 10% hash sample at sf0.01 → ~2k rows/flag; sample-median relative
+    // se ≈ 1.25·(σ/μ)/√n ≈ 1.5%, so 5% is a >3σ bound
     def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = byFlag(Relational.q15Percentile(spark, sf))
-    val approx = byFlag(Relational.q15Approx(spark, sf))
+    val exact = byFlag(Relational.q15Percentile(spark, sfSample))
+    val approx = byFlag(Relational.q15Approx(spark, sfSample))
     assert(exact.keySet == approx.keySet)
     exact.foreach { case (flag, es) =>
       es.zip(approx(flag)).zipWithIndex.foreach { case ((e, a), i) =>
-        assert(math.abs(a - e) / e <= 0.01,
-          s"$flag p${Seq(50, 90, 99)(i)}: approx $a vs exact $e exceeds 1%")
+        assert(math.abs(a - e) / e <= 0.05,
+          s"$flag p${Seq(50, 90, 99)(i)}: approx $a vs exact $e exceeds 5%")
       }
     }
   }
 
-  test("q20_approx deciles agree with exact ntile (±1 tile at sketch boundaries)") {
-    val exact = Relational.q20Ntile(spark, sf).collect()
+  test("q20_approx deciles agree with exact ntile (±1 tile at sample boundaries)") {
+    val exact = Relational.q20Ntile(spark, sfSample).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
-    val approx = Relational.q20Approx(spark, sf).collect()
+    val approx = Relational.q20Approx(spark, sfSample).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(exact.keySet == approx.keySet)
     val diffs = exact.map { case (k, e) => math.abs(approx(k) - e) }
-    // boundary lookup can't split ties by rank the way equi-depth ntile
-    // does, so rows AT a boundary may land one tile off — never more
-    assert(diffs.max <= 1, s"max decile deviation ${diffs.max} > 1")
+    // sampled boundaries shift by ≈ √(pq/n)/0.1 ≈ 0.3 tiles (n≈300 at
+    // sf0.01's 20% sample), and boundary lookup can't split ties by rank
+    // the way equi-depth ntile does — so rows may land one tile off, and
+    // in the extreme tail two; mass beyond ±1 must be ≤ 1%
+    assert(diffs.max <= 2, s"max decile deviation ${diffs.max} > 2")
+    val within1 = diffs.count(_ <= 1).toDouble / diffs.size
+    assert(within1 >= 0.99, s"only $within1 of rows within ±1 tile")
     val agree = diffs.count(_ == 0).toDouble / diffs.size
     info(f"q20_approx exact-tile agreement: $agree%.3f")
-    assert(agree >= 0.9, s"only $agree of rows on the exact tile")
+    // expected disagreement ≈ Σ over 9 boundaries of the rank shift
+    // fraction ≈ 9·√(0.1·0.9/300)/10 ≈ 10–15% — 0.85 is the 3σ floor
+    assert(agree >= 0.85, s"only $agree of rows on the exact tile")
   }
 
   test("q21_approx profile: sketch cardinalities within 2% of exact q21") {
