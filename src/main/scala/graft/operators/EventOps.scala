@@ -1447,9 +1447,50 @@ object EventOps {
         inTotal.getOrElse(s, 0L), outTotal.getOrElse(s, 0L))
     }.toDF("state", "pagerank", "in_n", "out_n")
   }
-  // ev_pagerank oracle: the power iteration is not SQL — a Python
-  // reference in tools/compare.py mirrors the count construction and the
-  // fixed-order scatter op for op (PY_ORACLES); driver gate: rows-only.
+  /** Full DuckDB oracle for [[evPagerank]] — the "not SQL-expressible"
+    * label was wrong: a FIXED iteration count unrolls into 30 chained
+    * CTEs (it1..it30), each computing one synchronous scatter step from
+    * the previous. Equality holds because the iteration is a contraction:
+    * cross-engine float-order differences inside one iteration stay at
+    * ~1e-16 relative and do not compound, so round(_, 6) on both sides
+    * hashes identically (the markov/ev_ab float-parity discipline).
+    * Built by code, not by hand, so the constants are shared with the
+    * Scala loop. Plain string concat, no stripMargin (embedded SQL could
+    * contain '||'-leading lines — the corpusReleaseManifestSql lesson).
+    */
+  val evPagerankSql: String = {
+    val damp = 0.85
+    val head =
+      "WITH g AS (\n" + evPagerankEdgesSql + "),\n" +
+        "nodes AS (SELECT DISTINCT x AS s FROM (SELECT src AS x FROM g UNION SELECT dst FROM g) u),\n" +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\n" +
+        "outt AS (SELECT src AS s, CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY src),\n" +
+        "intot AS (SELECT dst AS s, CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY dst),\n" +
+        "p AS (SELECT g.src, g.dst, CAST(g.n AS DOUBLE) / CAST(outt.t AS DOUBLE) AS p\n" +
+        "      FROM g JOIN outt ON g.src = outt.s),\n" +
+        "it0 AS (SELECT s, 1.0 / nn.n AS r FROM nodes, nn)"
+    // MATERIALIZED: DuckDB inlines plain CTEs, so 30 chained iterations
+    // explode the binder's expression depth past its 128 cap;
+    // materializing each ≤|taxonomy|-row step keeps binding flat
+    val iters = (1 to 30).map { k =>
+      s"it$k AS MATERIALIZED (\n" +
+        s"  SELECT nodes.s,\n" +
+        s"    (1.0 - $damp) / nn.n + $damp * (\n" +
+        s"      COALESCE((SELECT sum(prev.r * p.p) FROM it${k - 1} prev\n" +
+        s"                JOIN p ON p.src = prev.s AND p.dst = nodes.s), 0.0)\n" +
+        s"      + COALESCE((SELECT sum(prev.r) FROM it${k - 1} prev\n" +
+        s"                  WHERE prev.s NOT IN (SELECT s FROM outt)), 0.0) / nn.n\n" +
+        s"    ) AS r\n" +
+        s"  FROM nodes, nn)"
+    }.mkString(",\n")
+    val tail =
+      "\nSELECT nodes.s AS state, round(it30.r, 6) AS pagerank,\n" +
+        "  COALESCE(intot.t, 0) AS in_n, COALESCE(outt.t, 0) AS out_n\n" +
+        "FROM nodes JOIN it30 ON it30.s = nodes.s\n" +
+        "LEFT JOIN outt ON outt.s = nodes.s\n" +
+        "LEFT JOIN intot ON intot.s = nodes.s"
+    head + ",\n" + iters + tail
+  }
 
   val evCepSql: String =
     """WITH e AS (
