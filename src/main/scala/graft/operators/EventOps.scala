@@ -1492,6 +1492,102 @@ object EventOps {
     head + ",\n" + iters + tail
   }
 
+  /** Kaplan–Meier survival curve over user lifetime (time-to-churn) —
+    * the survival-analysis readout a retention team reads next to
+    * [[evRetention]]'s cohort table: S(t) = Π over event-days d ≤ t of
+    * (1 − churns_d / at-risk_d), with users still active in the last 7
+    * observed days right-CENSORED (they leave the risk set without
+    * counting as churn — the estimator's whole point vs a naive
+    * death-rate curve).
+    *
+    * Scale shape: ONE user-keyed exchange (first/last activity per
+    * user), a 1-row (observation end, user count) scalar attach
+    * (broadcast nested-loop, PlanSpec-whitelisted), then a per-day
+    * aggregate — the curve table is bounded by the corpus's span in
+    * DAYS, a decision table, so the global-order window that forms the
+    * running risk set and cumulative product never sees data-sized
+    * input. Risk sets and churn counts are exact BIGINTs; the one float
+    * chain (ln/sum/exp of the per-day factors) is written identically
+    * in the oracle and rounded to 6 decimals. A zero factor (everyone
+    * at risk churns on day d) would be ln(0) — Spark's log returns NULL
+    * there where DuckDB returns -inf, so both engines branch on a
+    * cumulative zero-flag instead of feeding ln a zero.
+    */
+  def evSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    val bounds = users.agg(
+      max(col("last_us")).as("end_us"),
+      count(lit(1)).as("n_users"))
+    val byDay = users
+      .join(broadcast(bounds), lit(true))
+      .select(
+        expr(s"(last_us - first_us) div $DayUs").as("day"),
+        when(col("last_us") > col("end_us") - lit(7L * DayUs), 1L)
+          .otherwise(0L).as("cens"),
+        col("n_users"))
+      .groupBy(col("day"))
+      .agg(
+        first(col("n_users")).as("n_users"),
+        count(lit(1)).as("n_total"),
+        sum(lit(1L) - col("cens")).as("n_events"),
+        sum(col("cens")).as("n_censored"))
+    val wPrior = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("n_total")).over(wPrior), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("n_events").cast("double") / col("n_risk").cast("double"))
+      .withColumn("zero_flag", when(col("factor") <= 0.0, 1L).otherwise(0L))
+      .withColumn("lnf", when(col("factor") > 0.0, log(col("factor"))).otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(sum(col("zero_flag")).over(wCum) > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("lnf")).over(wCum)), 6)))
+      .select(col("day"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("survival"))
+  }
+
+  val evSurvivalSql: String =
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY user_id),
+      |b AS (SELECT max(last_us) AS end_us, count(*) AS n_users FROM u),
+      |d AS (
+      |  SELECT (u.last_us - u.first_us) // 86400000000 AS day,
+      |    CASE WHEN u.last_us > b.end_us - 7 * 86400000000 THEN 1 ELSE 0 END AS cens,
+      |    b.n_users
+      |  FROM u, b),
+      |g AS (
+      |  SELECT day, any_value(n_users) AS n_users, count(*) AS n_total,
+      |    CAST(sum(1 - cens) AS BIGINT) AS n_events,
+      |    CAST(sum(cens) AS BIGINT) AS n_censored
+      |  FROM d GROUP BY day),
+      |r AS (
+      |  SELECT *, n_users - COALESCE(sum(n_total) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM g),
+      |f AS (
+      |  SELECT *,
+      |    1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+      |  FROM r),
+      |z AS (
+      |  SELECT *,
+      |    CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END AS zero_flag,
+      |    CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END AS lnf
+      |  FROM f)
+      |SELECT day, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+      |  CASE WHEN sum(zero_flag) OVER w > 0 THEN 0.0
+      |       ELSE round(exp(sum(lnf) OVER w), 6) END AS survival
+      |FROM z
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -122,6 +122,49 @@ object VectorOps {
        |WHERE list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
        |    / (a.nrm * b.nrm) >= 0.3""".stripMargin
 
+  /** SemDeDup-threshold audit panel — the cosine-cutoff histogram an
+    * embedding-dedup deployment reads before fixing its threshold (the
+    * [[graft.operators.DedupOps.dedupThresholdPanel]] pattern on the
+    * vector side): near-dup pair counts and affected-vector counts per
+    * 0.05 cosine band over the LSH candidate pairs. Moving the cutoff
+    * one band drops exactly these rows' worth of vectors. Slim by
+    * construction: input is the already-bucketed pair list (≪ corpus),
+    * output ≤ 20 rows; `cos` is already on the 1e-6 round grid, so the
+    * band mean's numerator is a fold-order-free BIGINT and the one
+    * division is shared IEEE.
+    */
+  def embThresholdPanel(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = embNeardupLsh(spark, sfDir)
+      .withColumn("band_lo", expr("CAST(floor(cos * 20) AS BIGINT)"))
+      .transform(graft.CacheScope.barrier) // pair stats + vec stats share it
+    val byPairs = pairs.groupBy(col("band_lo")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(expr("CAST(round(cos * 1000000) AS BIGINT)")).as("cq"))
+    val byVecs = pairs
+      .select(col("band_lo"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy(col("band_lo")).agg(countDistinct(col("d")).as("n_vecs"))
+    byPairs.join(byVecs, Seq("band_lo"))
+      .select(col("band_lo"), col("n_pairs"), col("n_vecs"),
+        expr("CAST(cq AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0)")
+          .as("mean_cos"))
+  }
+
+  // plain concat, no stripMargin: the embedded pair SQL carries no
+  // margin pipes but future edits might add '||' continuations — the
+  // corpusReleaseManifestSql lesson
+  val embThresholdPanelSql: String =
+    "WITH pairs AS (\n" + embNeardupLshSql + "),\n" +
+      "b AS (SELECT *, CAST(floor(cos * 20) AS BIGINT) AS band_lo FROM pairs),\n" +
+      "bp AS (SELECT band_lo, count(*) AS n_pairs,\n" +
+      "  CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT) AS cq\n" +
+      "  FROM b GROUP BY band_lo),\n" +
+      "bd AS (SELECT band_lo, count(DISTINCT d) AS n_vecs\n" +
+      "  FROM (SELECT band_lo, unnest([a_id, b_id]) AS d FROM b)\n" +
+      "  GROUP BY band_lo)\n" +
+      "SELECT band_lo, n_pairs, n_vecs,\n" +
+      "  CAST(cq AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0) AS mean_cos\n" +
+      "FROM bp JOIN bd USING (band_lo)"
+
   /** Multi-probe LSH near-dup: each vector additionally probes every
     * bucket at Hamming distance 1 in sign-bit space (`planes` + 1 probes),
     * catching near-dup pairs that a single hyperplane split separated —

@@ -33,6 +33,28 @@ class AnalyticsSpec extends SparkSpec {
       s"partition the raw purchase total ($raw)")
   }
 
+  test("ev_survival: Kaplan-Meier invariants hold") {
+    val rows = EventOps.evSurvival(spark, sf).orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    // S(t) is a product of factors in [0,1]: non-increasing, within [0,1]
+    val survs = rows.map(_.getDouble(4))
+    assert(survs.forall(s => s >= 0.0 && s <= 1.0))
+    survs.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"survival increased: $a -> $b")
+    case _ => ()
+    }
+    // the risk set shrinks by exactly the prior days' exits, down to > 0
+    val nRisk = rows.map(_.getLong(1))
+    nRisk.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, "risk set must strictly shrink across observed days")
+    case _ => ()
+    }
+    // every user exits exactly once: events + censored partition the users
+    val totalExits = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(totalExits == nUsers, s"exits $totalExits != users $nUsers")
+  }
+
   test("ev_attribution_markov: zero conversions yields an empty frame, not NaN") {
     // a corpus with no purchase events has convTotal == 0 — removal-effect
     // division must not produce NaN credit rows (oracle mirrors: returns [])

@@ -189,7 +189,8 @@ class PlanSpec extends SparkSpec {
       "emb_outlier", // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
       "ev_rfm", // 1-row (gmax, n_users) scalar attach, like doc_tfidf_top
       "ev_wau", // 1-row day-bounds scalar attach, same pattern
-      "doc_pmi_top") // two 1-row total broadcasts (T tokens, P pairs), doc_dsir pattern
+      "doc_pmi_top", // two 1-row total broadcasts (T tokens, P pairs), doc_dsir pattern
+      "ev_survival") // 1-row (observation end, n_users) scalar attach, ev_rfm pattern
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
