@@ -326,6 +326,170 @@ def oracle_ev_pagerank(con):
             for i, s in enumerate(nodes)]
 
 
+def _round_half_up_int(x):
+    """Mirror of Spark's round(double) for scale 0: BigDecimal.valueOf
+    (Double.toString, = Python repr — both shortest round-trip) then
+    HALF_UP. Banker's-rounding Python round() diverges on .5 ties."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+
+def _jacobi_eigen(m):
+    """Op-for-op mirror of VectorOps.jacobiEigen (cyclic Jacobi, fixed
+    sweep order, 1e-18 threshold, eigenvalue-desc order with index
+    tie-break, largest-|component|-positive sign canon). Only +,-,*,/ and
+    sqrt — every operation is correctly-rounded IEEE double in both
+    runtimes, so the eigendecomposition is BIT-identical, not just close.
+    """
+    d = len(m)
+    a = [row[:] for row in m]
+    v = [[1.0 if r == c else 0.0 for c in range(d)] for r in range(d)]
+    sweep, off = 0, float("inf")
+    while sweep < 100 and off > 1e-18:
+        off = 0.0
+        for p in range(d):
+            for qi in range(p + 1, d):
+                off = max(off, abs(a[p][qi]))
+                if abs(a[p][qi]) > 1e-18:
+                    theta = (a[qi][qi] - a[p][p]) / (2.0 * a[p][qi])
+                    if theta == 0.0:
+                        t = 1.0
+                    else:
+                        s_ = 1.0 if theta > 0 else -1.0
+                        t = s_ / (abs(theta) + math.sqrt(theta * theta + 1.0))
+                    c = 1.0 / math.sqrt(t * t + 1.0)
+                    s = t * c
+                    for k in range(d):
+                        akp, akq = a[k][p], a[k][qi]
+                        a[k][p] = c * akp - s * akq
+                        a[k][qi] = s * akp + c * akq
+                    for k in range(d):
+                        apk, aqk = a[p][k], a[qi][k]
+                        a[p][k] = c * apk - s * aqk
+                        a[qi][k] = s * apk + c * aqk
+                    for k in range(d):
+                        vkp, vkq = v[k][p], v[k][qi]
+                        v[k][p] = c * vkp - s * vkq
+                        v[k][qi] = s * vkp + c * vkq
+        sweep += 1
+    order = sorted(range(d), key=lambda i: (-a[i][i], i))
+    vals = [a[i][i] for i in order]
+    vecs = []
+    for i in order:
+        w = [v[r][i] for r in range(d)]
+        mx = max(range(d), key=lambda k: (abs(w[k]), -k))
+        vecs.append([-x for x in w] if w[mx] < 0 else w)
+    return vals, vecs
+
+
+def _pca_fit(con, dims=64):
+    """Mirror of VectorOps.pcaFitOf: exact BIGINT milli-grid moments
+    (computed in DuckDB — the oracle-green emb_cov quantization), then
+    the Scala finalization IEEE sequence, then the Jacobi mirror."""
+    mom = con.execute(
+        "WITH q AS (SELECT list_transform(embedding, "
+        "  x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS vq FROM embeddings) "
+        "SELECT i, j, CAST(sum(vq[i + 1] * vq[j + 1]) AS BIGINT) "
+        f"FROM q, generate_series(0, {dims - 1}) g1(i), "
+        f"     generate_series(0, {dims - 1}) g2(j) "
+        "WHERE i <= j GROUP BY i, j").fetchall()
+    sums = con.execute(
+        "WITH q AS (SELECT list_transform(embedding, "
+        "  x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS vq FROM embeddings) "
+        "SELECT i, CAST(sum(vq[i + 1]) AS BIGINT) "
+        f"FROM q, generate_series(0, {dims - 1}) g(i) GROUP BY i").fetchall()
+    n = float(con.execute("SELECT count(*) FROM embeddings").fetchone()[0])
+    s = [0] * dims
+    for i, si in sums:
+        s[i] = si
+    m = [[0.0] * dims for _ in range(dims)]
+    for i, j, sij in mom:
+        c = (float(sij) - float(s[i]) * float(s[j]) / n) / n / 1000000.0
+        m[i][j] = c
+        m[j][i] = c
+    means = [float(s[i]) / n / 1000.0 for i in range(dims)]
+    vals, vecs = _jacobi_eigen(m)
+    return means, vals, vecs
+
+
+def _pca_apply(con, whiten, k=8, dims=64):
+    """Mirror of VectorOps.pcaApply: the same left fold
+    acc += (double(x_i) - mean_i) * (vec_i * scale) in index order —
+    float32→double widening is exact, the Scala literals round-trip via
+    Double.toString (= repr), so every p value is bit-identical."""
+    means, vals, vecs = _pca_fit(con, dims)
+    weights = []
+    for c in range(k):
+        if not whiten:
+            scale = 1.0
+        elif vals[c] > 0:
+            scale = 1.0 / math.sqrt(vals[c])
+        else:
+            scale = 0.0
+        weights.append([w * scale for w in vecs[c]])
+    out = []
+    for vec_id, emb in con.execute(
+            "SELECT vec_id, embedding FROM embeddings").fetchall():
+        row = {"vec_id": vec_id}
+        for c in range(k):
+            wc = weights[c]
+            acc = 0.0
+            for i in range(dims):
+                acc = acc + (float(emb[i]) - means[i]) * wc[i]
+            row[f"p{c}"] = acc
+        out.append(row)
+    return out
+
+
+def oracle_emb_pca(con):
+    return _pca_apply(con, whiten=False)
+
+
+def oracle_emb_whiten(con):
+    return _pca_apply(con, whiten=True)
+
+
+def oracle_doc_quality_train(con):
+    """Op-for-op mirror of TextOps.docQualityTrainFit: features from the
+    committed doc_gopher_filter SQL (all ratio features live on round-4
+    grids, so both engines hold identical doubles), then 15 full-batch GD
+    iterations where each gradient is a fold-order-free sum of
+    round(1e6·e·x_j) BIGINTs (HALF_UP mirror) and the weight update
+    repeats the Scala IEEE sequence lr·(g/1e6)/n. The only transcendental
+    is exp(-z) per row; a libm-vs-JVM ulp difference only matters if some
+    1e6·e·x_j lands within ~1e-10 of a .5 tie — absent that, the final
+    weights are bit-identical."""
+    if "doc_gopher_filter" not in ORACLE_SQL:
+        raise RuntimeError("doc_quality_train oracle needs doc_gopher_filter SQL")
+    feats = []
+    df = con.execute(ORACLE_SQL["doc_gopher_filter"]).fetch_df()
+    for r in df.itertuples(index=False):
+        feats.append((
+            1.0,
+            float(min(int(r.n_tokens), 200)) / 200.0,
+            min(float(r.avg_token_len), 10.0) / 10.0,
+            float(min(int(r.n_stop), 20)) / 20.0,
+            float(r.uniq_ratio),
+            float(r.rep_ratio),
+            1.0 if r.admit else 0.0))
+    n = float(len(feats))
+    names = ["bias", "len", "wordlen", "stop", "uniq", "rep"]
+    w = [0.0] * 6
+    for _ in range(15):
+        g = [0] * 6
+        for x0, x1, x2, x3, x4, x5, y in feats:
+            xs = (x0, x1, x2, x3, x4, x5)
+            z = (w[0]) * x0 + (w[1]) * x1 + (w[2]) * x2 \
+                + (w[3]) * x3 + (w[4]) * x4 + (w[5]) * x5
+            p = 1.0 / (1.0 + math.exp(-z))
+            e = p - y
+            for j in range(6):
+                g[j] += _round_half_up_int(1e6 * e * xs[j])
+        for j in range(6):
+            w[j] = w[j] - 2.0 * (float(g[j]) / 1e6) / n
+    return [{"feature": names[j], "weight": w[j]} for j in range(6)]
+
+
 # Oracles computed in Python instead of DuckDB SQL (driver's gate records
 # these as rows-only; this replica closes the hash check locally).
 PY_ORACLES = {"doc_compress": oracle_doc_compress,
@@ -337,7 +501,10 @@ PY_ORACLES = {"doc_compress": oracle_doc_compress,
               # 30-round iteration unrolls into chained CTEs), so the gate
               # takes the SQL path; oracle_ev_pagerank above is retained
               # as the independent from-scratch reference of record
-              "corpus_release": oracle_corpus_release}
+              "corpus_release": oracle_corpus_release,
+              "emb_pca": oracle_emb_pca,
+              "emb_whiten": oracle_emb_whiten,
+              "doc_quality_train": oracle_doc_quality_train}
 
 
 def canon(rows):
