@@ -1588,6 +1588,93 @@ object EventOps {
       |FROM z
       |WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Uplift-modeling readout (Radcliffe 2007's Qini curve): per
+    * targeting-score band, treated-vs-control conversion uplift and the
+    * cumulative Qini statistic — the panel an uplift deployment reads to
+    * decide WHOM to treat (top-score bands with positive uplift) rather
+    * than whether treatment works on average ([[evAbStats]]).
+    *
+    * Design mirrors the repo's experiment conventions: treatment =
+    * `user_id % 2` ([[evAbStats]]), targeting score = PRE-period activity
+    * (event count before the [[evAbCuped]] cut, so the score is
+    * leakage-free), response = any post-cut purchase. Bands are the raw
+    * integer scores — no global ntile window; the banded frame is
+    * ≤ max-score rows at ANY corpus size, so the cumulative (Qini)
+    * window costs nothing. Scale shape: one user-keyed slim aggregate
+    * (the corpus-sized pass), one tiny score-keyed aggregate, one
+    * bounded window. All counts are exact BIGINTs; the two divisions are
+    * shared IEEE finalization on round-6 grids.
+    */
+  def evUplift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutUs = 1705363200000000L // the evAbCuped pre/post boundary
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("user_id") % 2).cast(IntegerType).as("treat"),
+        expr(s"IF(ts div 1000 < ${cutUs}L, 1L, 0L)").as("pre"),
+        expr(s"IF(ts div 1000 >= ${cutUs}L AND event_type = 'purchase', 1L, 0L)")
+          .as("cv"))
+      .groupBy(col("user_id"), col("treat"))
+      .agg(sum(col("pre")).as("score"), max(col("cv")).as("resp"))
+    val g = u.groupBy(col("score")).agg(
+      sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("treat") === 1, col("resp")).otherwise(0L)).as("conv_t"),
+      sum(when(col("treat") === 0, col("resp")).otherwise(0L)).as("conv_c"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_nt", sum(col("n_t")).over(w))
+      .withColumn("cum_nc", sum(col("n_c")).over(w))
+      .withColumn("cum_ct", sum(col("conv_t")).over(w))
+      .withColumn("cum_cc", sum(col("conv_c")).over(w))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("score"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        expr(
+          """round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+            |  - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)""".stripMargin)
+          .as("uplift"),
+        expr(
+          """round(CAST(cum_ct AS DOUBLE) - IF(cum_nc > 0,
+            |  CAST(cum_cc AS DOUBLE) * CAST(cum_nt AS DOUBLE)
+            |    / CAST(cum_nc AS DOUBLE), 0.0D), 6)""".stripMargin)
+          .as("qini"))
+  }
+
+  val evUpliftSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS treat,
+      |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END AS pre,
+      |    CASE WHEN epoch_us(ts) >= 1705363200000000
+      |         AND event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, treat, CAST(sum(pre) AS BIGINT) AS score,
+      |    CAST(max(cv) AS BIGINT) AS resp
+      |  FROM e GROUP BY 1, 2),
+      |g AS (
+      |  SELECT score,
+      |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(sum(CASE WHEN treat = 1 THEN resp ELSE 0 END) AS BIGINT) AS conv_t,
+      |    CAST(sum(CASE WHEN treat = 0 THEN resp ELSE 0 END) AS BIGINT) AS conv_c
+      |  FROM u GROUP BY score),
+      |c AS (
+      |  SELECT *,
+      |    CAST(sum(n_t) OVER w AS BIGINT) AS cum_nt,
+      |    CAST(sum(n_c) OVER w AS BIGINT) AS cum_nc,
+      |    CAST(sum(conv_t) OVER w AS BIGINT) AS cum_ct,
+      |    CAST(sum(conv_c) OVER w AS BIGINT) AS cum_cc
+      |  FROM g
+      |  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND CURRENT ROW))
+      |SELECT score, n_t, n_c, conv_t, conv_c,
+      |  round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |    - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift,
+      |  round(CAST(cum_ct AS DOUBLE) - CASE WHEN cum_nc > 0 THEN
+      |    CAST(cum_cc AS DOUBLE) * CAST(cum_nt AS DOUBLE)
+      |      / CAST(cum_nc AS DOUBLE) ELSE 0.0 END, 6) AS qini
+      |FROM c
+      |WHERE n_t > 0 AND n_c > 0""".stripMargin
+
   val evCepSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

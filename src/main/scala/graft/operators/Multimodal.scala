@@ -29,6 +29,11 @@ object Multimodal {
   /** Per-frame metadata produced by the (stubbed) decoder. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, width: Int, height: Int)
 
+  /** Per-window audio features produced by the (stubbed) PCM decoder:
+    * exact integer sufficient stats (Σ sample², zero crossings) so the
+    * downstream aggregate is fold-order-free. */
+  case class AudioWin(doc_id: Long, win_idx: Int, ssq: Long, zc: Long)
+
   /** STUB codec — deterministic fake standing in for an image/video
     * library call. A production build replaces `decode` with the real
     * codec; everything around it (partitioning, encoders, explode) stays.
@@ -49,6 +54,26 @@ object Multimodal {
       val nFrames = (r.content.length / 1024 + 1).toInt
       (0 until nFrames).map { i =>
         FrameMeta(r.doc_id, i, (h % 1920).toInt + 1, (h % 1080).toInt + 1)
+      }
+    }
+
+    /** "Decode" a payload as PCM audio: one 512-byte window per chunk
+      * (+1), four deterministic 16-bit samples per window derived from
+      * md5(digest | window) — a production build swaps in the real audio
+      * codec; the window/sample shape and the integer sufficient stats
+      * stay.
+      */
+    def decodeAudio(r: MediaRecord): Seq[AudioWin] = {
+      val digest = md5Hex(r.content)
+      val nWin = r.content.length / 512 + 1
+      (0 until nWin).map { w =>
+        val wh = md5Hex((digest + "|" + w).getBytes("UTF-8"))
+        val s = Array.tabulate(4)(j =>
+          java.lang.Long.parseLong(wh.substring(8 * j, 8 * j + 8), 16)
+            % 65536L - 32768L)
+        val ssq = s.map(x => x * x).sum
+        val zc = (0 until 3).count(j => (s(j) >= 0) != (s(j + 1) >= 0)).toLong
+        AudioWin(r.doc_id, w, ssq, zc)
       }
     }
   }
@@ -157,6 +182,56 @@ object Multimodal {
       |  (octet_length(encode(text)) // 1024) // 4 + 1 AS n_sampled,
       |  ((octet_length(encode(text)) // 1024) // 4) * 4 AS last_idx
       |FROM documents""".stripMargin
+
+  /** Audio-feature extraction: decode distributed through the stub PCM
+    * codec (the [[decodeFrames]] `mapPartitions` shape — one codec
+    * context per partition, iterators streaming, per-window INTEGER
+    * sufficient stats leaving the task), then one doc-keyed aggregate of
+    * exact BIGINTs and a shared-IEEE finalization (RMS energy via
+    * correctly-rounded sqrt, zero-crossing rate) — the standard
+    * audio-corpus quality/VAD screening signals. At 100 TB the decode
+    * is embarrassingly parallel over parquet splits and the exchange
+    * carries 32-byte stat rows, never samples.
+    */
+  def mmAudioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRecord]
+    media.mapPartitions { it => it.flatMap(FakeCodec.decodeAudio) }.toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(col("ssq")).as("ssq"), sum(col("zc")).as("zc"))
+      .select(col("doc_id"), col("n_win"),
+        round(sqrt(col("ssq").cast("double")
+          / (col("n_win") * 4L).cast("double")), 4).as("rms"),
+        round(col("zc").cast("double")
+          / (col("n_win") * 3L).cast("double"), 6).as("zcr"))
+  }
+
+  val mmAudioFeaturesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, md5(md5(text) || '|' || CAST(w AS VARCHAR)) AS wh
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(0, octet_length(encode(text)) // 512 + 1)) AS w
+      |        FROM documents)),
+      |s AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(wh, 1, 8))::BIGINT % 65536 - 32768 AS s0,
+      |    ('0x' || substr(wh, 9, 8))::BIGINT % 65536 - 32768 AS s1,
+      |    ('0x' || substr(wh, 17, 8))::BIGINT % 65536 - 32768 AS s2,
+      |    ('0x' || substr(wh, 25, 8))::BIGINT % 65536 - 32768 AS s3
+      |  FROM w),
+      |g AS (
+      |  SELECT doc_id, count(*) AS n_win,
+      |    CAST(sum(s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3) AS BIGINT) AS ssq,
+      |    CAST(sum(((s0 >= 0) <> (s1 >= 0))::INT + ((s1 >= 0) <> (s2 >= 0))::INT
+      |           + ((s2 >= 0) <> (s3 >= 0))::INT) AS BIGINT) AS zc
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, n_win,
+      |  round(sqrt(CAST(ssq AS DOUBLE) / CAST(n_win * 4 AS DOUBLE)), 4) AS rms,
+      |  round(CAST(zc AS DOUBLE) / CAST(n_win * 3 AS DOUBLE), 6) AS zcr
+      |FROM g""".stripMargin
 
   /** Per-payload 64-bit perceptual hash (dHash over the stub-decoded
     * luma plane — [[graft.functions.PHash64]] for the recipe and the

@@ -1824,4 +1824,113 @@ object VectorOps {
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id") +: cols: _*)
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * SIGIR'98) — the retrieval/data-selection step that trades relevance
+    * against redundancy: greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so the final k cover the
+    * query's neighborhood instead of k near-copies of the same region
+    * (the failure mode plain [[embKnn]] has on a deduplicated-corpus
+    * retrieval stack).
+    *
+    * Scale split, the [[embKmeans]] fit/apply contract: the CORPUS-sized
+    * work is one broadcast-query cosine scan + TakeOrderedAndProject
+    * down to nCand candidates (zero wide exchanges, same plan as
+    * [[embKnn]]); the greedy then runs on the collected nCand-row panel
+    * with its nCand² candidate-candidate similarities — BOUNDED
+    * driver-side model state (50 rows / 2450 sims here), the same
+    * contract as the BPE merge table or the Markov transition solve, NOT
+    * a data-sized collect. Every similarity lands on the round-6 grid
+    * before the greedy, and the score arithmetic (λ·rel − μ·maxSim with
+    * literal λ, μ — never 1−λ, whose double differs from the 0.3
+    * literal) is the same two IEEE ops in both engines, so selection
+    * order is deterministic cross-engine; ties break by vec_id. The
+    * DuckDB oracle unrolls the k greedy steps into chained MATERIALIZED
+    * CTEs ([[graft.operators.EventOps.evPagerank]] precedent).
+    */
+  def embMmr(spark: SparkSession, sfDir: String): DataFrame =
+    embMmr(spark, sfDir, nCand = 50, k = 10)
+
+  private val mmrLam = 0.7
+  private val mmrMu = 0.3
+
+  def embMmr(spark: SparkSession, sfDir: String, nCand: Int, k: Int)
+      : DataFrame = {
+    CosineSimilarity.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), lit(true)) // 1-row scalar attach (whitelisted)
+      .withColumn("rel", round(expr("cosine_sim(qv, v)"), 6))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(nCand)
+      .select(col("vec_id"), col("rel"), col("v"))
+      .transform(graft.CacheScope.barrier) // candidate scan + sim join share it
+    val a = cand.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = cand.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val sims = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("cosine_sim(av, bv)"), 6).as("sim"))
+    // bounded model state: nCand rows + nCand² sims, never corpus-sized
+    val rel = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (rank <- 1 to math.min(k, rel.size)) {
+      def score(d: Long): Double = {
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sim.getOrElse((d, s), 0.0)).max
+        mmrLam * rel(d) - mmrMu * maxSim
+      }
+      val pick = rel.keysIterator.filterNot(selected.contains)
+        .minBy(d => (-score(d), d))
+      out += ((rank, pick, rel(pick), score(pick)))
+      selected += pick
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    out.toSeq.toDF("rank", "vec_id", "rel", "score")
+      .select(col("rank"), col("vec_id"), col("rel"),
+        round(col("score"), 6).as("score"))
+  }
+
+  val embMmrSql: String = {
+    val nCand = 50
+    val k = 10
+    val dot = s"list_sum(list_transform(range(1, ${dims + 1}), i -> %s))"
+    val base =
+      "WITH s AS (\n" +
+        "  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v\n" +
+        "  FROM embeddings),\n" +
+        "n AS (\n" +
+        s"  SELECT vec_id, v, sqrt(${dot.format("v[i] * v[i]")}) AS nrm FROM s),\n" +
+        "cand AS MATERIALIZED (\n" +
+        s"  SELECT c.vec_id, round(${dot.format("q.v[i] * c.v[i]")} / (q.nrm * c.nrm), 6) AS rel\n" +
+        "  FROM n q, n c WHERE q.vec_id = 0 AND c.vec_id <> 0\n" +
+        s"  ORDER BY rel DESC, c.vec_id ASC LIMIT $nCand),\n" +
+        "sim AS MATERIALIZED (\n" +
+        s"  SELECT na.vec_id AS a_id, nb.vec_id AS b_id,\n" +
+        s"    round(${dot.format("na.v[i] * nb.v[i]")} / (na.nrm * nb.nrm), 6) AS sim\n" +
+        "  FROM cand a JOIN n na ON na.vec_id = a.vec_id\n" +
+        "     , cand b JOIN n nb ON nb.vec_id = b.vec_id\n" +
+        "  WHERE a.vec_id <> b.vec_id),\n" +
+        "sel1 AS MATERIALIZED (\n" +
+        "  SELECT 1 AS rank, vec_id, rel, 0.7 * rel AS score\n" +
+        "  FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1)"
+    val steps = (2 to k).map { r =>
+      s",\np$r AS MATERIALIZED (\n" +
+        s"  SELECT $r AS rank, c.vec_id, c.rel,\n" +
+        "    0.7 * c.rel - 0.3 * (SELECT max(sim) FROM sim s\n" +
+        s"      JOIN sel${r - 1} t ON s.b_id = t.vec_id WHERE s.a_id = c.vec_id) AS score\n" +
+        s"  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})\n" +
+        "  ORDER BY score DESC, c.vec_id ASC LIMIT 1),\n" +
+        s"sel$r AS MATERIALIZED (\n" +
+        s"  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)"
+    }.mkString
+    base + steps +
+      s"\nSELECT rank, vec_id, rel, round(score, 6) AS score FROM sel$k"
+  }
 }

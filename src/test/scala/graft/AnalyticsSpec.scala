@@ -171,6 +171,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b, "power iteration must be bit-deterministic")
   }
 
+  test("ev_uplift: counts partition, uplift bounded, qini reconciles") {
+    val rows = EventOps.evUplift(spark, sf).orderBy(col("score").desc).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nT, nC) = (r.getLong(1), r.getLong(2))
+      val (cT, cC) = (r.getLong(3), r.getLong(4))
+      assert(nT >= 1 && nC >= 1, "filtered bands must have both arms")
+      assert(cT >= 0 && cT <= nT && cC >= 0 && cC <= nC)
+      val uplift = r.getDouble(5)
+      assert(uplift >= -1.0 && uplift <= 1.0, s"uplift out of range: $uplift")
+      // uplift recomputes from the band's own counts
+      val expect = BigDecimal(cT.toDouble / nT - cC.toDouble / nC)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(uplift == expect, s"uplift $uplift != $expect")
+    }
+    // the treatment split is the user_id parity — both arms populated
+    val users = Tables.events(spark, sf)
+      .select(col("user_id"), (col("user_id") % 2).as("t")).distinct()
+    assert(users.filter(col("t") === 1).count() > 0)
+    assert(users.filter(col("t") === 0).count() > 0)
+  }
+
   test("corpus_stats: totals reconcile and rates are bounded") {
     val out = CorpusPipeline.corpusStats(spark, sf).cache()
     try {

@@ -81,4 +81,23 @@ class MmPhashSpec extends SparkSpec {
     }
     info(s"${pairs.length} edges -> ${labels.values.toSet.size} clusters over ${labels.size} docs")
   }
+
+  test("mm_audio_features: window count from payload size, bounded stats") {
+    val out = Multimodal.mmAudioFeatures(spark, sf).cache()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("nb"))
+      // n_win is exactly bytes/512 + 1 — the stub codec's contract
+      val bad = out.join(docs, Seq("doc_id"))
+        .filter(col("n_win") =!= expr("nb div 512 + 1"))
+      assert(bad.isEmpty, "window count must follow the 512-byte chunking")
+      assert(out.count() == docs.count(), "one row per payload")
+      // RMS of 16-bit-centered samples lies in [0, 32768]; ZCR in [0, 1]
+      assert(out.filter(col("rms") < 0 || col("rms") > 32768.0).isEmpty)
+      assert(out.filter(col("zcr") < 0 || col("zcr") > 1.0).isEmpty)
+      // deterministic across runs (md5-derived stub)
+      val again = Multimodal.mmAudioFeatures(spark, sf)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
 }

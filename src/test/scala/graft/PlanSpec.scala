@@ -849,4 +849,30 @@ class PlanSpec extends SparkSpec {
       CacheScope.release() // the training fit staged barriers
     }
   }
+
+  test("ev_uplift: two keyed exchanges + one bounded window, no text-width rows") {
+    // corpus pass -> user-keyed slim agg -> score-banded agg -> cumulative
+    // window over the <= max-score frame; nothing else may shuffle
+    assert(countExchanges("ev_uplift") <= 3,
+      "uplift must be user agg + score agg + one bounded window exchange")
+    val cols = shuffledColumns("ev_uplift")
+    assert(cols.forall(cs => !cs.contains("event_type") || cs.size <= 4),
+      s"wide rows rode the uplift exchange: $cols")
+  }
+
+  test("emb_mmr: corpus work is the emb_knn shape (TakeOrderedAndProject, broadcast query)") {
+    try {
+      val df = operators.VectorOps.embMmr(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // the greedy output itself is a LocalTableScan (bounded driver panel)
+      assert(p.contains("LocalTableScan"), s"expected bounded local result:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("mm_audio_features: the stat exchange carries integers, never payloads") {
+    val cols = shuffledColumns("mm_audio_features")
+    assert(cols.nonEmpty)
+    assert(cols.forall(cs => !cs.contains("content") && !cs.contains("text")),
+      s"payload bytes rode the exchange: $cols")
+  }
 }
