@@ -441,6 +441,71 @@ def _pca_apply(con, whiten, k=8, dims=64):
     return out
 
 
+def _opq_allocate(vals, m, sd):
+    """Mirror of VectorOps.opqAllocate (Ge et al. eigenvalue allocation):
+    deal eigendirections (λ desc) into m buckets of sd slots, each to the
+    open bucket with the smallest shifted log-λ product, first-min ties.
+    """
+    logs = [math.log(max(v, 1e-12)) for v in vals]
+    base = min(logs)
+    bucket_log = [0.0] * m
+    buckets = [[] for _ in range(m)]
+    for i in range(len(vals)):
+        open_ = [b for b in range(m) if len(buckets[b]) < sd]
+        b = min(open_, key=lambda b: (bucket_log[b], b))
+        buckets[b].append(i)
+        bucket_log[b] += logs[i] - base
+    return [i for b in buckets for i in b]
+
+
+def oracle_emb_opq(con, m=16, sd=4, dims=64):
+    """NEAR-oracle for OPQ ANN — NOT registered in PY_ORACLES, kept as
+    the documented reason emb_opq stays rows-only. The rotation mirror is
+    bit-identical (the _pca_fit / _jacobi_eigen path, verified through
+    emb_pca/emb_whiten) and the PQ chain runs as the committed emb_pq SQL
+    verbatim on the rotated corpus; rankings come out IDENTICAL at sf0.01
+    and sf0.1, but 3–4 of 50 adist values differ by exactly 1e-6.
+    Measured cause: rotated coordinates are 1e-6-grid-aligned, so the PQ
+    chain's round(·, 6) calls (centroid means, LUT distances) land on .5
+    ties SYSTEMATICALLY — and there Spark (HALF_UP on the shortest-repr
+    decimal) and DuckDB (binary-value rounding) legitimately disagree.
+    Raw-embedding emb_pq never hits this (generic doubles, ties
+    measure-zero), which is why its SQL twin is hash-green. Closing the
+    gap needs the repo's BIGINT-grid discipline INSIDE the PQ train
+    (quantized centroid sums), not a better mirror; until then OpqSpec's
+    isometry/allocation/recall bounds carry emb_opq.
+    """
+    from decimal import Decimal, ROUND_HALF_UP
+
+    if "emb_pq" not in ORACLE_SQL:
+        raise RuntimeError("emb_opq oracle needs emb_pq SQL in this run")
+    means, vals, vecs0 = _pca_fit(con, dims)
+    order = _opq_allocate(vals, m, sd)
+    vecs = [vecs0[i] for i in order]
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                ROUND_HALF_UP))
+
+    rows = []
+    for vec_id, emb in con.execute(
+            "SELECT vec_id, embedding FROM embeddings").fetchall():
+        xs = [float(x) for x in emb]
+        v = []
+        for c in range(dims):
+            wc = vecs[c]
+            acc = 0.0
+            for i in range(dims):
+                acc = acc + (xs[i] - means[i]) * wc[i]
+            v.append(r6(acc))
+        rows.append((vec_id, v))
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con2.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    df = con2.execute(ORACLE_SQL["emb_pq"]).fetch_df()
+    return df.to_dict("records")
+
+
 def oracle_emb_pca(con):
     return _pca_apply(con, whiten=False)
 
@@ -504,6 +569,9 @@ PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "corpus_release": oracle_corpus_release,
               "emb_pca": oracle_emb_pca,
               "emb_whiten": oracle_emb_whiten,
+              # emb_opq: near-oracle only (see oracle_emb_opq docstring —
+              # grid-aligned round-ties make Spark and DuckDB rounding
+              # legitimately diverge by 1e-6 on a few adist values)
               "doc_quality_train": oracle_doc_quality_train}
 
 
