@@ -752,13 +752,23 @@ object VectorOps {
   private def l2Duck(a: String, b: String, d: Int): String =
     s"list_sum(list_transform(range(1, ${d + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
-  /** (vec_id, s, sv): each vector split into `m` subspace slices —
-    * the working form every PQ stage (train, encode, query LUT) reads. */
+  /** (vec_id, s, sv): each vector split into `m` subspace slices, every
+    * coordinate quantized to the 1e-6 micro grid (carried as an exact
+    * integer VALUE in a double — all micro sums/squares stay far below
+    * 2^53, so every distance downstream is an exactly-representable
+    * integer and the whole PQ chain needs NO round() calls: centroid
+    * means, LUT partials, and ADC sums are tie-free and bit-identical
+    * cross-engine by construction — the BIGINT-moment discipline applied
+    * inside the codebook). This is the working form every PQ stage
+    * (train, encode, query LUT) reads.
+    */
   private def pqSub(e: DataFrame, m: Int): DataFrame = {
     val sd = dims / m
     e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> " +
-          s"struct(s AS s, slice(v, s * $sd + 1, $sd) AS sv))")).as("z"))
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, " +
+          s"transform(slice(v, s * $sd + 1, $sd), " +
+          s"x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS sv))"))
+        .as("z"))
       .select(col("vec_id"), col("z.s").as("s"), col("z.sv").as("sv"))
   }
 
@@ -774,10 +784,13 @@ object VectorOps {
         first(col("sv")).as("sv"))
       .select(col("vec_id"), col("s"), col("sv"), col("mn.c_id").as("c_id"))
 
-  /** `iters` Lloyd rounds per subspace (init = k lowest-id sub-vectors,
-    * per-dimension mean rounded to 6 decimals per iteration). One
-    * exchange per iteration regardless of `m` — the s-fanout folds into
-    * the same map-side argmin. */
+  /** `iters` Lloyd rounds per subspace (init = k lowest-id sub-vectors;
+    * per-dimension mean snapped back to the micro grid via an exact
+    * BIGINT sum — a .5 tie in Σ/n is a true half-integer, exactly
+    * representable, and HALF_UP = away-from-zero agrees between Spark
+    * and DuckDB there, unlike round(avg, 6) whose decimal ties diverge).
+    * One exchange per iteration regardless of `m` — the s-fanout folds
+    * into the same map-side argmin. */
   private def pqTrain(sub: DataFrame, k: Int, iters: Int): DataFrame = {
     var cent = sub.filter(col("vec_id") < k)
       .select(col("s"), col("vec_id").as("c_id"), col("sv").as("cv"))
@@ -785,7 +798,10 @@ object VectorOps {
       cent = pqAssignTo(sub, cent)
         .select(col("s"), col("c_id"), posexplode(col("sv")))
         .groupBy(col("s"), col("c_id"), (col("pos") + 1).as("i"))
-        .agg(round(avg(col("col")), 6).as("mc"))
+        .agg(expr(
+          """CAST(CAST(round(CAST(sum(CAST(col AS BIGINT)) AS DOUBLE)
+            |  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS DOUBLE)""".stripMargin)
+          .as("mc"))
         .groupBy(col("s"), col("c_id"))
         .agg(expr("transform(sort_array(collect_list(struct(i, mc))), z -> z.mc)")
           .as("cv"))
@@ -808,7 +824,9 @@ object VectorOps {
          |  WHERE rn = 1""".stripMargin
     def updateCte(assignTable: String): String =
       s"""SELECT s, c_id, list(mc ORDER BY i) AS cv FROM (
-         |    SELECT s, c_id, i, round(avg(sv[i]), 6) AS mc
+         |    SELECT s, c_id, i,
+         |      CAST(CAST(round(CAST(sum(CAST(sv[i] AS BIGINT)) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS DOUBLE) AS mc
          |    FROM $assignTable, range(1, ${sd + 1}) t(i) GROUP BY s, c_id, i)
          |  GROUP BY s, c_id""".stripMargin
     val rounds = (1 to iters).map { r =>
@@ -816,7 +834,9 @@ object VectorOps {
          |${p}c$r AS (${updateCte(s"${p}a$r")})""".stripMargin
     }.mkString(",\n")
     s"""${p}sub AS (
-       |  SELECT vec_id, s, v[s*$sd+1 : s*$sd+$sd] AS sv
+       |  SELECT vec_id, s,
+       |    list_transform(v[s*$sd+1 : s*$sd+$sd],
+       |      x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS sv
        |  FROM n, range(0, $m) t(s)),
        |${p}c0 AS (SELECT s, vec_id AS c_id, sv AS cv FROM ${p}sub WHERE vec_id < $k),
        |$rounds,
@@ -829,15 +849,17 @@ object VectorOps {
        |  WHERE rn = 1),
        |${p}lut AS (
        |  SELECT sub.vec_id AS q_id, sub.s, c.c_id AS code,
-       |    round(${l2Duck("sub.sv", "c.cv", sd)}, 6) AS pd
+       |    ${l2Duck("sub.sv", "c.cv", sd)} AS pd
        |  FROM ${p}sub sub JOIN ${p}c$iters c USING (s) WHERE sub.vec_id < 10)""".stripMargin
   }
 
   /** Product quantization (the FAISS PQ stage): split each vector into
     * `m` subspaces, train a k-entry L2 codebook per subspace (same
     * deterministic Lloyd discipline as [[embKmeans]]: init = k lowest-id
-    * sub-vectors, argmin L2 with lowest-c_id tie-break, per-dimension
-    * mean rounded to 6 decimals per iteration), encode every vector as
+    * sub-vectors, argmin L2 with lowest-c_id tie-break; sub-vectors and
+    * centroids live on the exact 1e-6 micro-integer grid — see
+    * [[pqSub]]/[[pqTrain]] for why that makes the whole chain tie-free
+    * cross-engine), encode every vector as
     * `m` byte codes, and answer top-k by asymmetric distance (ADC): the
     * query stays full-precision, distance = sum over subspaces of the
     * precomputed query→centroid partials.
@@ -870,17 +892,20 @@ object VectorOps {
     val cent = pqTrain(sub, k, iters)
       .transform(CacheScope.barrier) // encode + LUT both read it
     val codes = pqAssignTo(sub, cent).select(col("vec_id"), col("s"), col("c_id").as("code"))
+    // pd and its sum are exact micro² integers (no round() anywhere);
+    // the single /1e12 rescale to embedding units is one correctly-
+    // rounded IEEE division, identical in both engines
     val lut = sub.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
       .join(broadcast(cent), Seq("s"))
       .select(col("q_id"), col("s"), col("c_id").as("code"),
-        round(expr(l2Sql("qsv", "cv")), 6).as("pd"))
+        expr(l2Sql("qsv", "cv")).as("pd"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id").asc)
     codes.join(broadcast(lut), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
-      .agg(round(sum(col("pd")), 6).as("adist"))
+      .agg((sum(col("pd")) / lit(1e12)).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("adist"))
@@ -893,7 +918,7 @@ object VectorOps {
        |  FROM embeddings),
        |${pqCtesDuck("", m = 16, k = 64, iters = 2)},
        |scored AS (
-       |  SELECT q_id, vec_id AS n_id, round(sum(pd), 6) AS adist
+       |  SELECT q_id, vec_id AS n_id, sum(pd) / 1e12 AS adist
        |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
        |  WHERE codes.vec_id <> lut.q_id
        |  GROUP BY q_id, codes.vec_id)
@@ -966,7 +991,7 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qsv"))
       .join(broadcast(cent), Seq("s"))
       .select(col("q_id"), col("s"), col("c_id").as("code"),
-        round(expr(l2Sql("qsv", "cv")), 6).as("pd"))
+        expr(l2Sql("qsv", "cv")).as("pd"))
     // a vector lives in exactly one cell and a query probes nprobe
     // distinct cells, so the broadcast join yields each (q, n) at most
     // once — only probed cells' codes ever ride the ADC exchange
@@ -978,7 +1003,7 @@ object VectorOps {
     val cands = pairs.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("q_id", "s", "code"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
-      .agg(round(sum(col("pd")), 6).as("adist"))
+      .agg((sum(col("pd")) / lit(1e12)).as("adist"))
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= cand)
       .select(col("q_id"), col("n_id"))
@@ -1002,7 +1027,7 @@ object VectorOps {
        |  SELECT p.q_id, c.vec_id AS n_id
        |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id),
        |adc AS (
-       |  SELECT cp.q_id, cp.n_id, round(sum(l.pd), 6) AS adist
+       |  SELECT cp.q_id, cp.n_id, sum(l.pd) / 1e12 AS adist
        |  FROM cpairs cp
        |  JOIN pcodes co ON co.vec_id = cp.n_id
        |  JOIN plut l ON l.q_id = cp.q_id AND l.s = co.s AND l.code = co.code

@@ -459,21 +459,23 @@ def _opq_allocate(vals, m, sd):
 
 
 def oracle_emb_opq(con, m=16, sd=4, dims=64):
-    """NEAR-oracle for OPQ ANN — NOT registered in PY_ORACLES, kept as
-    the documented reason emb_opq stays rows-only. The rotation mirror is
-    bit-identical (the _pca_fit / _jacobi_eigen path, verified through
-    emb_pca/emb_whiten) and the PQ chain runs as the committed emb_pq SQL
-    verbatim on the rotated corpus; rankings come out IDENTICAL at sf0.01
-    and sf0.1, but 3–4 of 50 adist values differ by exactly 1e-6.
-    Measured cause: rotated coordinates are 1e-6-grid-aligned, so the PQ
-    chain's round(·, 6) calls (centroid means, LUT distances) land on .5
-    ties SYSTEMATICALLY — and there Spark (HALF_UP on the shortest-repr
-    decimal) and DuckDB (binary-value rounding) legitimately disagree.
-    Raw-embedding emb_pq never hits this (generic doubles, ties
-    measure-zero), which is why its SQL twin is hash-green. Closing the
-    gap needs the repo's BIGINT-grid discipline INSIDE the PQ train
-    (quantized centroid sums), not a better mirror; until then OpqSpec's
-    isometry/allocation/recall bounds carry emb_opq.
+    """Composite reference for OPQ ANN: the rotation is the _pca_fit /
+    _jacobi_eigen mirror (bit-identical, verified through
+    emb_pca/emb_whiten) + the opqAllocate permutation + the same per-row
+    left fold as the Scala literals rounded to the 6-decimal codebook
+    grid; the PQ chain then runs as the COMMITTED emb_pq SQL verbatim
+    against the rotated corpus in a fresh DuckDB connection.
+
+    History note (why the PQ chain is integer-grid): the first version of
+    this oracle, against the round(avg/l2, 6) PQ chain, reproduced every
+    RANKING but differed on 3–4 of 50 adist values by exactly 1e-6 — the
+    rotated corpus is grid-aligned, so round(·, 6) hit .5 ties
+    systematically, where Spark (HALF_UP on shortest-repr) and DuckDB
+    (binary rounding) legitimately disagree. The fix was in the OPERATOR,
+    not the mirror: the PQ chain now quantizes sub-vectors to exact
+    micro-integers, making every centroid mean (half-integer ties are
+    binary-exact, where both engines round away from zero) and every
+    distance an exact integer — no round() left to diverge.
     """
     from decimal import Decimal, ROUND_HALF_UP
 
@@ -569,9 +571,7 @@ PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "corpus_release": oracle_corpus_release,
               "emb_pca": oracle_emb_pca,
               "emb_whiten": oracle_emb_whiten,
-              # emb_opq: near-oracle only (see oracle_emb_opq docstring —
-              # grid-aligned round-ties make Spark and DuckDB rounding
-              # legitimately diverge by 1e-6 on a few adist values)
+              "emb_opq": oracle_emb_opq,
               "doc_quality_train": oracle_doc_quality_train}
 
 
