@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails stdout and json-parses the bench record line; sbt's
+// default LoggedOutput wraps forked-run output in "[info] " prefixes,
+// which defeated that parse three rounds running (BENCH_r06..r08
+// "parsed": null). StdoutOutput hands the forked JVM the real stdout,
+// so the one-line record arrives bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
