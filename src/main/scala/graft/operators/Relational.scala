@@ -482,6 +482,40 @@ object Relational {
        |  CAST(sum(_cnt) AS BIGINT) AS n_rows
        |FROM l1 GROUP BY l_returnflag""".stripMargin
 
+  /** q18_prod: the SAME HLL on the production hash base — one codegen'd
+    * xxhash64 per row instead of an md5 hex digest (~5× less per-row CPU;
+    * the r8 md5 base made the approx tier slower than its exact twin,
+    * inverting its purpose). This is the profile a 100 TB deployment
+    * runs. Still fully hash-checked: the DuckDB twin mirrors xxhash64's
+    * 8-byte path bit-exactly in HUGEINT arithmetic
+    * ([[Sketches.xxh64TableSql]]), so BOTH sketch profiles are
+    * driver-verified; AccuracySpec bounds this one at 2% of exact q9 too.
+    */
+  def q18ApproxDistinctProd(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("_h", Sketches.prodHash(col("l_partkey")))
+      .groupBy(col("l_returnflag"), Sketches.hllIdxFromHash(col("_h")).as("_i"))
+      .agg(min(Sketches.hllRankSourceFromHash(col("_h"))).as("_mw"),
+        count(lit(1)).as("_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Sketches.hllEstimate(count(lit(1)),
+          sum(Sketches.hllContribution(
+            Sketches.hllRankOfMinSource(col("_mw"))))).as("approx_parts"),
+        sum(col("_cnt")).as("n_rows"))
+
+  val q18ApproxDistinctProdSql: String =
+    s"""WITH l1 AS (
+       |  SELECT l_returnflag, _i, min(_w) AS _mw, count(*) AS _cnt
+       |  FROM ${Sketches.xxh64TableSql("SELECT * FROM lineitem", "l_partkey")}
+       |  GROUP BY l_returnflag, _i)
+       |SELECT l_returnflag,
+       |  ${Sketches.hllEstimateSql("count(*)",
+            "sum(" + Sketches.hllContributionSql(
+              Sketches.hllRankOfMinSourceSql("_mw")) + ")")} AS approx_parts,
+       |  CAST(sum(_cnt) AS BIGINT) AS n_rows
+       |FROM l1 GROUP BY l_returnflag""".stripMargin
+
   /** q19: pivot — long-to-wide reshaping (order counts by priority ×
     * status). Pivot values are EXPLICIT (`Seq("F","O","P")`): without
     * them Spark runs an extra distinct-collect job to discover the
@@ -701,6 +735,81 @@ object Relational {
        |  SELECT tag, idx, max(rk) AS mr, count(sd) AS cnt, min(sd) AS mn,
        |    max(sd) AS mx, sum(qty) AS sq, sum(price) AS sp
        |  FROM x GROUP BY tag, idx)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  ${Sketches.hllEstimateSql(
+            "count(CASE WHEN tag = 0 THEN 1 END)",
+            "sum(CASE WHEN tag = 0 THEN " + Sketches.hllContributionSql("mr") + " END)")} AS n_orders,
+       |  ${Sketches.hllEstimateSql(
+            "count(CASE WHEN tag = 1 THEN 1 END)",
+            "sum(CASE WHEN tag = 1 THEN " + Sketches.hllContributionSql("mr") + " END)")} AS n_parts,
+       |  (min(mn))::VARCHAR AS min_ship,
+       |  (max(mx))::VARCHAR AS max_ship,
+       |  round(sum(sq), 2) AS sum_qty,
+       |  round(sum(sp) / sum(cnt), 4) AS avg_price
+       |FROM g""".stripMargin
+
+  /** q21_prod: the profiling pass on the production hash base (xxhash64,
+    * see [[q18ApproxDistinctProd]]): one codegen'd hash per sketched
+    * column per row, same one-scan explode-to-tagged-rows plan as
+    * q21_approx, same estimate pipeline. Hash-checked via the HUGEINT
+    * xxhash64 mirror; ≤2% of exact q21 in AccuracySpec.
+    */
+  def q21ApproxProd(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      // The struct carries the RAW hash, not idx/rank: the generator's
+      // output is a bound attribute, so the rank's bit-smear (whose
+      // expression tree references its input 2^6 times) duplicates only
+      // attribute refs. Computing idx/rank before the explode lets
+      // project-collapse inline the xxhash64 call into all 64 smear
+      // leaves — measured 4× slower at sf0.1.
+      .select(explode(array(
+        struct(lit(0).as("tag"),
+          Sketches.prodHash(col("l_orderkey")).as("h"),
+          col("l_shipdate").cast("date").as("sd"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price")),
+        struct(lit(1).as("tag"),
+          Sketches.prodHash(col("l_partkey")).as("h"),
+          lit(null).cast("date").as("sd"),
+          lit(null).cast("double").as("qty"),
+          lit(null).cast("double").as("price")))).as("x"))
+      .select(col("x.*"))
+      .groupBy(col("tag"), Sketches.hllIdxFromHash(col("h")).as("idx"))
+      .agg(min(Sketches.hllRankSourceFromHash(col("h"))).as("mw"),
+        count(col("sd")).as("cnt"),
+        min(col("sd")).as("mn"), max(col("sd")).as("mx"),
+        sum(col("qty")).as("sq"), sum(col("price")).as("sp"))
+      .withColumn("mr", Sketches.hllRankOfMinSource(col("mw")))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        Sketches.hllEstimate(
+          count(when(col("tag") === 0, lit(1))),
+          sum(when(col("tag") === 0, Sketches.hllContribution(col("mr")))))
+          .as("n_orders"),
+        Sketches.hllEstimate(
+          count(when(col("tag") === 1, lit(1))),
+          sum(when(col("tag") === 1, Sketches.hllContribution(col("mr")))))
+          .as("n_parts"),
+        min(col("mn")).cast("string").as("min_ship"),
+        max(col("mx")).cast("string").as("max_ship"),
+        round(sum(col("sq")), 2).as("sum_qty"),
+        round(sum(col("sp")) / sum(col("cnt")), 4).as("avg_price"))
+
+  val q21ApproxProdSql: String =
+    s"""WITH x AS (
+       |  SELECT 0 AS tag, _i AS idx, _w AS w,
+       |    l_shipdate::DATE AS sd, l_quantity AS qty, l_extendedprice AS price
+       |  FROM ${Sketches.xxh64TableSql("SELECT * FROM lineitem", "l_orderkey")}
+       |  UNION ALL
+       |  SELECT 1 AS tag, _i AS idx, _w AS w,
+       |    NULL::DATE AS sd, NULL::DOUBLE AS qty, NULL::DOUBLE AS price
+       |  FROM ${Sketches.xxh64TableSql("SELECT * FROM lineitem", "l_partkey")}),
+       |g0 AS (
+       |  SELECT tag, idx, min(w) AS mw, count(sd) AS cnt, min(sd) AS mn,
+       |    max(sd) AS mx, sum(qty) AS sq, sum(price) AS sp
+       |  FROM x GROUP BY tag, idx),
+       |g AS (
+       |  SELECT *, ${Sketches.hllRankOfMinSourceSql("mw")} AS mr FROM g0)
        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
        |  ${Sketches.hllEstimateSql(
             "count(CASE WHEN tag = 0 THEN 1 END)",

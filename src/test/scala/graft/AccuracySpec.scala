@@ -30,6 +30,19 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("q18_approx_prod (xxhash64 base) within 2% of the exact q9 counts") {
+    val exact = Relational.q9DistinctAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.q18ApproxDistinctProd(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      assert(math.abs(a - e).toDouble / e <= 0.02,
+        s"$flag: approx $a vs exact $e exceeds 2%")
+    }
+  }
+
   test("q15_approx percentiles within 5% of the exact q15 percentiles") {
     // 10% hash sample at sf0.01 → ~2k rows/flag; sample-median relative
     // se ≈ 1.25·(σ/μ)/√n ≈ 1.5%, so 5% is a >3σ bound
@@ -71,6 +84,19 @@ class AccuracySpec extends SparkSpec {
     val e = Relational.q21Profile(spark, sf).collect().head
     val a = Relational.q21Approx(spark, sf).collect().head
     // non-sketch columns are bit-identical
+    Seq("n_rows", "min_ship", "max_ship", "sum_qty", "avg_price").foreach { c =>
+      assert(e.getAs[Any](c) == a.getAs[Any](c), s"$c differs")
+    }
+    Seq("n_orders", "n_parts").foreach { c =>
+      val ev = e.getAs[Long](c); val av = a.getAs[Long](c)
+      assert(math.abs(av - ev).toDouble / ev <= 0.02,
+        s"$c: approx $av vs exact $ev exceeds 2%")
+    }
+  }
+
+  test("q21_approx_prod (xxhash64 base): sketch cardinalities within 2% of exact q21") {
+    val e = Relational.q21Profile(spark, sf).collect().head
+    val a = Relational.q21ApproxProd(spark, sf).collect().head
     Seq("n_rows", "min_ship", "max_ship", "sum_qty", "avg_price").foreach { c =>
       assert(e.getAs[Any](c) == a.getAs[Any](c), s"$c differs")
     }
