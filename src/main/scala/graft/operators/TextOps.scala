@@ -364,6 +364,24 @@ object TextOps {
     }.toDF("doc_id", "n_bytes", "deflate_ratio")
   }
 
+  /** Driver-checkable companion of [[compressionRatio]] (r9, shrinking
+    * the SQL-gate blind spot): deflate itself has no DuckDB twin, but the
+    * data pass feeding it does — per doc the exact UTF-8 byte length the
+    * ratio divides by and the md5 of the exact payload handed to the
+    * Deflater. A hash-green row here pins everything about doc_compress
+    * except the codec call, which the Python zlib oracle covers.
+    */
+  def docCompressProbe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("octet_length", col("text")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+
+  val docCompressProbeSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5
+      |FROM documents""".stripMargin
+
   /** Within-document repetition (the Gopher/CCNet duplicate-n-gram quality
     * rule): share of the doc's 2-grams occupied by its single most
     * frequent 2-gram. Two hash aggregations — (doc, gram) then (doc) —
@@ -1098,6 +1116,44 @@ object TextOps {
   // iterative merge loop; tools/compare.py carries a from-scratch Python
   // reference (PY_ORACLES) and BpeTrainSpec pins known-corpus merges +
   // the max-pair-count monotonicity invariant. Driver gate: rows-only.
+
+  /** Driver-checkable companion of [[docBpeTrain]] (r9): the round-1
+    * argmax INPUT — adjacent character-pair counts over the
+    * frequency-weighted distinct-word table, in the training loop's exact
+    * decision order (count desc, left asc, right asc; the first output
+    * row IS merge #1). The loop itself stays Python-oracled; this pins
+    * the corpus-sized statistics pass it folds over, via plain SQL.
+    */
+  def docBpePairs0(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(expr("split(w, '')").as("seq"), col("wc"))
+      .filter(size(col("seq")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(0, size(seq) - 2), i ->
+          |  struct(element_at(seq, i + 1) AS l, element_at(seq, i + 2) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+      .limit(100)
+
+  val docBpePairs0Sql: String =
+    """WITH wc AS (
+      |  SELECT token AS w, count(*) AS wc FROM (
+      |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |    FROM documents)
+      |  WHERE length(token) > 0 GROUP BY token),
+      |p AS (
+      |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, wc
+      |  FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM wc WHERE length(w) >= 2))
+      |SELECT l, r, CAST(sum(wc) AS BIGINT) AS pair_count
+      |FROM p GROUP BY l, r
+      |ORDER BY pair_count DESC, l ASC, r ASC
+      |LIMIT 100""".stripMargin
 
   /** BPE tokenizer APPLICATION with the merges [[docBpeTrain]] just
     * learned — closing the tokenizer loop (train on the corpus, then
