@@ -20,19 +20,42 @@ import graft.model.LogRecord
   * load 10⁷-key RocksDB state and process one more batch. Output: ONE
   * JSON line.
   *
+  * Field semantics (every duration from StreamingQueryProgress):
+  * `batch_ms_*` = triggerExecution WALL time per micro-batch;
+  * `update_ms_p50`/`commit_ms_p50` = the state operator's
+  * allUpdatesTimeMs/commitTimeMs, which Spark SUMS ACROSS the 32 state
+  * partitions of a batch — cumulative task time, so they legitimately
+  * exceed the batch's wall time; `restore_state_rows` counts state AFTER
+  * the restore batch ran, i.e. the restored keys PLUS the one extra
+  * batch of new keys the restore processes (keys/batches more than
+  * `state_rows_final`); `rows_removed_total` = numRowsRemoved summed
+  * over all batches (eviction work actually performed).
+  *
   * Env: SPARK_GRAFT_STATE_KEYS (default 10000000),
-  * SPARK_GRAFT_STATE_BATCHES (default 20), SPARK_GRAFT_CPUS.
+  * SPARK_GRAFT_STATE_BATCHES (default 20), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_STATE_SPREAD_US (default 0): per-batch event-time
+  * advance. 0 keeps every key inside one retention window (pure-growth
+  * run); setting it to a fraction of the 600 s retention makes the
+  * watermark CROSS retention boundaries as batches progress, so
+  * expiry timers actually fire and the run measures eviction cost at
+  * scale (state plateaus at ~retention/spread batches' worth of keys).
   */
 object StreamStateBench {
   def main(args: Array[String]): Unit = {
     val keys = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "10000000").toLong
     val batches = sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "20").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spreadUs = sys.env.getOrElse("SPARK_GRAFT_STATE_SPREAD_US", "0").toLong
     val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // default 100 recentProgress entries would silently truncate the
+      // p50/max stats when batches > 100 while the JSON claims the full
+      // run (r8 ADVICE)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (batches + 10).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,8 +77,10 @@ object StreamStateBench {
     val perBatch = keys / batches
 
     // one parquet file per micro-batch, generated DISTRIBUTED (no driver
-    // array); all ids distinct -> every key becomes live dedup state; all
-    // event times within one retention window -> nothing expires
+    // array); all ids distinct -> every key becomes live dedup state;
+    // spreadUs = 0 keeps all event times within one retention window
+    // (nothing expires); spreadUs > 0 advances event time per batch so
+    // old keys cross their retention timers and evict
     def writeBatch(b: Long): Unit =
       spark.range(b * perBatch, (b + 1) * perBatch)
         .selectExpr(
@@ -72,7 +97,7 @@ object StreamStateBench {
             |  'timestamp', CAST(NULL AS STRING),
             |  'level', 'ERROR',
             |  'logger_name', CAST(NULL AS STRING)) AS event""".stripMargin,
-          s"$baseUs + id % 1000 AS event_time_us")
+          s"$baseUs + $b * ${spreadUs}L + id % 1000 AS event_time_us")
         .coalesce(1)
         .write.mode("append").parquet(src)
 
@@ -101,9 +126,14 @@ object StreamStateBench {
     val stateOps = progress.flatMap(_.stateOperators.headOption)
     val commit = stateOps.map(_.commitTimeMs)
     val update = stateOps.map(_.allUpdatesTimeMs)
-    val last = stateOps.last
-    def custom(k: String): Long =
-      Option(last.customMetrics.get(k)).map(_.toLong).getOrElse(-1L)
+    val removedTotal = stateOps.map(_.numRowsRemoved).sum
+    // -1 sentinels when no progress entry carried a state operator
+    // (r8 ADVICE: .last threw instead of degrading)
+    val lastOpt = stateOps.lastOption
+    def lastRows: Long = lastOpt.map(_.numRowsTotal).getOrElse(-1L)
+    def lastMem: Long = lastOpt.map(_.memoryUsedBytes).getOrElse(-1L)
+    def custom(k: String): Long = lastOpt.flatMap(l =>
+      Option(l.customMetrics.get(k)).map(_.toLong)).getOrElse(-1L)
 
     // checkpoint footprint on disk (state + offsets/commits)
     def duBytes(dir: String): Long = {
@@ -134,12 +164,14 @@ object StreamStateBench {
 
     println(
       s"""{"metric":"stream_state_bench","keys":$keys,"batches":$batches,""" +
+      s""""spread_us_per_batch":$spreadUs,""" +
       s""""load_secs":${math.round(loadSecs * 1000) / 1000.0},""" +
       s""""records_per_sec":${math.round(keys / loadSecs)},""" +
       s""""batch_ms_p50":${p50(trig)},"batch_ms_max":${if (trig.isEmpty) -1 else trig.max},""" +
       s""""update_ms_p50":${p50(update)},"commit_ms_p50":${p50(commit)},""" +
-      s""""state_rows_final":${last.numRowsTotal},""" +
-      s""""state_memory_bytes":${last.memoryUsedBytes},""" +
+      s""""rows_removed_total":$removedTotal,""" +
+      s""""state_rows_final":$lastRows,""" +
+      s""""state_memory_bytes":$lastMem,""" +
       s""""rocksdb_sst_bytes":${custom("rocksdbSstFileSize")},""" +
       s""""rocksdb_pinned_mem_bytes":${custom("rocksdbPinnedBlocksMemoryUsage")},""" +
       s""""ckpt_bytes":$ckptBytes,""" +

@@ -574,6 +574,14 @@ PY_ORACLES = {"doc_compress": oracle_doc_compress,
               "emb_opq": oracle_emb_opq,
               "doc_quality_train": oracle_doc_quality_train}
 
+# Queries whose finalization rounds a libm ln/exp chain (HLL linear
+# counting, Kaplan-Meier's exp(sum(ln)), pagerank's 30-round float sums):
+# a value within ~1 ulp of a rounding tie can flip the last unit on other
+# data. On a hash FAIL for these, the gate checks whether every diff is
+# exactly one least-significant unit and says so (diagnosable, not red).
+LN_TIE_RISK = {"q18_approx_distinct", "q18_approx_prod", "q21_approx",
+               "q21_approx_prod", "ev_survival", "ev_pagerank"}
+
 
 def canon(rows):
     out = []
@@ -694,6 +702,28 @@ def main():
                 print(f"  spark-only: {only_s}")
             if only_d:
                 print(f"  duck-only:  {only_d}")
+            # Documented residual risk (round-8 advice): queries whose
+            # finalization rounds an ln/exp chain (libm results are not
+            # guaranteed correctly rounded) can land within 1 ulp of a
+            # rounding tie and flip the last integer/decimal by 1 on
+            # OTHER data even though both engines are individually
+            # deterministic. If every differing cell is off by exactly
+            # one least-significant unit, say so — a tie flip is a known
+            # 1-ulp event to re-derive, not a logic bug to hunt.
+            if name in LN_TIE_RISK and only_s and only_d and \
+                    len(only_s) == len(only_d):
+                def _num(r):
+                    return [x for x in r if isinstance(x, (int, float))]
+                tie = all(
+                    len(_num(a)) == len(_num(b)) and all(
+                        abs(x - y) <= max(1e-6, 1e-6 * max(abs(x), abs(y)))
+                        or abs(x - y) <= 1
+                        for x, y in zip(_num(a), _num(b)))
+                    for a, b in zip(sorted(only_s), sorted(only_d)))
+                if tie:
+                    print(f"  NOTE {name}: all diffs are +/-1 count (or <=1e-6) — "
+                          f"consistent with a documented ln-rounding tie flip, "
+                          f"not an algorithm divergence")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if out_json:
