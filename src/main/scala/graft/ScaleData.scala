@@ -38,12 +38,13 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
-    // the per-replica Caesar rotation is the identity on digits at
-    // k % 10 == 0, so replica 10 would re-share char-n-grams with replica
-    // 0 and quietly reintroduce the quadratic-candidate artifact the
-    // rotation eliminates; >10× scale needs a rotation scheme that is
-    // non-identity (and pairwise distinct) for every k first
-    require(n <= 10, s"replica rotation is only replica-disjoint for n <= 10 (got $n)")
+    // Two per-replica bijection schemes (see `salted` below): Caesar
+    // rotations for n <= 10 (bit-compatible with the r8 sf1 artifacts),
+    // seeded per-class permutations beyond that — rotations are the
+    // identity on digits at k % 10 == 0, so replica 10 would re-share
+    // char-n-grams with replica 0 and reintroduce the quadratic-candidate
+    // artifact the bijection exists to eliminate.
+    require(n <= 1000, s"key offset spacing supports n <= 1000 (got $n)")
     val off = 10000000L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -71,15 +72,46 @@ object ScaleData {
 
     write(read("region"), "region")
     write(read("nation"), "nation")
+    val classes = Seq("abcdefghijklmnopqrstuvwxyz",
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "0123456789")
     // per-replica Caesar bijection: rotate each character class by k
     def rotated(k: Int): (String, String) = {
-      val classes = Seq("abcdefghijklmnopqrstuvwxyz",
-        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "0123456789")
       def rot(s: String) = { val n = k % s.length; s.drop(n) + s.take(n) }
       (classes.mkString, classes.map(rot).mkString)
     }
+    // per-replica seeded Fisher–Yates permutation of each class — valid
+    // at any replica count (rotations give only 10 distinct digit maps).
+    // Pairwise-distinct permutations mean replica copies of a document
+    // share char-n-grams only at background-collision rates, the same
+    // property the rotations provide for n <= 10. Lengths, token
+    // boundaries, case classes, and within-replica dup structure are
+    // preserved exactly (class-preserving bijection).
+    def permuted(k: Int): (String, String) = {
+      def perm(s: String, seed: Long): String = {
+        val a = s.toCharArray
+        val rnd = new java.util.Random(seed)
+        var i = a.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val t = a(i); a(i) = a(j); a(j) = t
+          i -= 1
+        }
+        new String(a)
+      }
+      (classes.mkString,
+        classes.zipWithIndex.map { case (s, ci) =>
+          perm(s, k.toLong * 7919L + ci) }.mkString)
+    }
+    val bijection: Int => (String, String) = if (n <= 10) rotated else permuted
+    if (n > 10) {
+      // deterministic seeds -> this either always holds or never does;
+      // the digit class (10! maps) is the only one with collision mass
+      val maps = (1 until n).map(k => bijection(k)._2)
+      require(maps.distinct.size == maps.size && !maps.contains(classes.mkString),
+        "per-replica permutations must be pairwise distinct and non-identity")
+    }
     def salted(c: org.apache.spark.sql.Column, k: Int) =
-      if (k == 0) c else { val (from, to) = rotated(k); translate(c, from, to) }
+      if (k == 0) c else { val (from, to) = bijection(k); translate(c, from, to) }
     // c_name rotates per replica like documents.text below: a verbatim
     // copy makes every name a 10-way cross-replica exact/near dup, which
     // inflates fuzzy-join candidates ~N² in the synthetic corpus; the
