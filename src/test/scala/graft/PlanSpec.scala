@@ -57,6 +57,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort ["), "top-k must not global-sort")
   }
 
+  test("prod sketches: pure-integer per-row path, two exchanges, no Expand, one scan") {
+    val p18 = plan("q18_approx_prod")
+    // the production profile's whole point: no per-row string machinery
+    // (md5/conv/bin are the md5 twin's oracle-parity cost) and no Expand
+    Seq("md5", "conv(", "bin(").foreach(tok =>
+      assert(!p18.contains(tok), s"q18_approx_prod must not plan $tok"))
+    assert(p18.contains("xxhash64"), p18.take(1500))
+    assert(!p18.contains("Expand"), "sketch agg must not Expand rows")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q18_approx_prod")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p.toString).length
+      assert(exchanges == 2, s"level-1 + level-2 = exactly 2 exchanges, got $exchanges")
+      val scans = p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1 &&
+        scans.head.requiredSchema.fieldNames.toSet == Set("l_returnflag", "l_partkey"),
+        s"one scan of exactly (l_returnflag, l_partkey): ${scans.map(_.requiredSchema.fieldNames.mkString(","))}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val p21 = plan("q21_approx_prod")
+    Seq("md5", "conv(", "bin(").foreach(tok =>
+      assert(!p21.contains(tok), s"q21_approx_prod must not plan $tok"))
+    // ONE pass: the two sketched columns ride one explode over one scan
+    assert("Scan parquet".r.findAllIn(p21).length == 1,
+      "q21_approx_prod must read lineitem once")
+  }
+
   test("q4_semi_join plans a semi join with a pruned right side") {
     val p = plan("q4_semi_join")
     assert(p.contains("LeftSemi"), p.take(2000))
