@@ -35,6 +35,73 @@ import org.apache.spark.sql.functions._
   * parquet. Perf only.
   */
 object ScaleData {
+  /** Seeded Fisher–Yates permutation of `s` (class-preserving bijection
+    * alphabet for one replica / character class).
+    */
+  private[graft] def perm(s: String, seed: Long): String = {
+    val a = s.toCharArray
+    val rnd = new java.util.Random(seed)
+    var i = a.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    new String(a)
+  }
+
+  /** Per-replica seeded permutations of each character class — valid at
+    * any replica count (Caesar rotations give only 10 distinct digit
+    * maps). Pairwise-distinct permutations mean replica copies of a
+    * document share char-n-grams only at background-collision rates, the
+    * same property the rotations provide for n <= 10. Lengths, token
+    * boundaries, case classes, and within-replica dup structure are
+    * preserved exactly (class-preserving bijection).
+    *
+    * Distinctness must hold PER CHARACTER CLASS (round-9 advice): the
+    * digit class has only 10! = 3.6M maps, so two replicas can share the
+    * identical digit permutation while differing on letters (~14%
+    * likelihood somewhere by n = 1000), pass a concatenated-only check,
+    * and re-share digit-only char-n-grams across replicas — a partial
+    * reintroduction of the quadratic-candidate artifact the bijection
+    * exists to prevent. Colliding (or identity) class permutations
+    * rehash with a deterministic attempt stride, built in (k, class)
+    * order, so the table is a pure function of n — and bit-identical to
+    * the unguarded r9 output whenever no collision occurs
+    * ([[ScaleDataSpec]] pins n = 100, the sf10 corpus, to zero rehashes).
+    */
+  private[graft] def permTable(classes: Seq[String], n: Int): Array[Seq[String]] = {
+    val used = Array.fill(classes.size)(
+      scala.collection.mutable.HashSet.empty[String])
+    val table = Array.tabulate(n) { k =>
+      classes.zipWithIndex.map { case (s, ci) =>
+        if (k == 0) s
+        else {
+          var attempt = 0L
+          var p = perm(s, k.toLong * 7919L + ci)
+          while (p == s || !used(ci).add(p)) {
+            attempt += 1
+            // a class whose permutation space is smaller than the replica
+            // count can never satisfy distinctness — fail loudly instead
+            // of spinning (real classes have 10! and 26! maps; 10^5 draws
+            // without a fresh map means exhaustion, not bad luck)
+            require(attempt < 100000L,
+              s"class $ci ('$s') exhausted distinct permutations at replica $k")
+            p = perm(s, k.toLong * 7919L + ci + attempt * 1000003L)
+          }
+          p
+        }
+      }
+    }
+    // post-condition on the guarded construction, per class
+    for (ci <- classes.indices) {
+      val maps = (1 until n).map(k => table(k)(ci))
+      require(maps.distinct.size == maps.size && !maps.contains(classes(ci)),
+        s"class $ci permutations must be pairwise distinct and non-identity")
+    }
+    table
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
@@ -79,37 +146,10 @@ object ScaleData {
       def rot(s: String) = { val n = k % s.length; s.drop(n) + s.take(n) }
       (classes.mkString, classes.map(rot).mkString)
     }
-    // per-replica seeded Fisher–Yates permutation of each class — valid
-    // at any replica count (rotations give only 10 distinct digit maps).
-    // Pairwise-distinct permutations mean replica copies of a document
-    // share char-n-grams only at background-collision rates, the same
-    // property the rotations provide for n <= 10. Lengths, token
-    // boundaries, case classes, and within-replica dup structure are
-    // preserved exactly (class-preserving bijection).
-    def permuted(k: Int): (String, String) = {
-      def perm(s: String, seed: Long): String = {
-        val a = s.toCharArray
-        val rnd = new java.util.Random(seed)
-        var i = a.length - 1
-        while (i > 0) {
-          val j = rnd.nextInt(i + 1)
-          val t = a(i); a(i) = a(j); a(j) = t
-          i -= 1
-        }
-        new String(a)
-      }
-      (classes.mkString,
-        classes.zipWithIndex.map { case (s, ci) =>
-          perm(s, k.toLong * 7919L + ci) }.mkString)
-    }
+    val table = permTable(classes, n)
+    def permuted(k: Int): (String, String) =
+      (classes.mkString, table(k).mkString)
     val bijection: Int => (String, String) = if (n <= 10) rotated else permuted
-    if (n > 10) {
-      // deterministic seeds -> this either always holds or never does;
-      // the digit class (10! maps) is the only one with collision mass
-      val maps = (1 until n).map(k => bijection(k)._2)
-      require(maps.distinct.size == maps.size && !maps.contains(classes.mkString),
-        "per-replica permutations must be pairwise distinct and non-identity")
-    }
     def salted(c: org.apache.spark.sql.Column, k: Int) =
       if (k == 0) c else { val (from, to) = bijection(k); translate(c, from, to) }
     // c_name rotates per replica like documents.text below: a verbatim

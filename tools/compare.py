@@ -710,18 +710,71 @@ def main():
             # deterministic. If every differing cell is off by exactly
             # one least-significant unit, say so — a tie flip is a known
             # 1-ulp event to re-derive, not a logic bug to hunt.
+            #
+            # Round-9 advice hardening: canon() stringifies every cell, so
+            # the old isinstance-based check was vacuous. Parse the
+            # canonical strings back to numbers, pair rows by their
+            # NON-numeric (key) cells instead of sort order, scale the
+            # tolerance to each cell's actual last rendered unit (1 for
+            # integer-rendered, 10^-d for d rendered decimals), and only
+            # print the NOTE when at least one genuine 1-unit flip is
+            # observed.
             if name in LN_TIE_RISK and only_s and only_d and \
                     len(only_s) == len(only_d):
-                def _num(r):
-                    return [x for x in r if isinstance(x, (int, float))]
-                tie = all(
-                    len(_num(a)) == len(_num(b)) and all(
-                        abs(x - y) <= max(1e-6, 1e-6 * max(abs(x), abs(y)))
-                        or abs(x - y) <= 1
-                        for x, y in zip(_num(a), _num(b)))
-                    for a, b in zip(sorted(only_s), sorted(only_d)))
+                def _parse(x):
+                    try:
+                        return float(x)
+                    except (TypeError, ValueError):
+                        return None
+
+                def _unit(x):
+                    # last rendered unit of a canonical %.9g cell
+                    s = str(x)
+                    if "e" in s or "E" in s or "n" in s:  # sci-notation/NaN
+                        return None
+                    if "." in s:
+                        return 10.0 ** -len(s.split(".")[1])
+                    return 1.0
+
+                def _key(r):
+                    return tuple(x for x in r if _parse(x) is None)
+
+                def _nums(r):
+                    return [x for x in r if _parse(x) is not None]
+
+                s_by_key = {_key(r): r for r in only_s}
+                d_by_key = {_key(r): r for r in only_d}
+                tie = (len(s_by_key) == len(only_s)
+                       and set(s_by_key) == set(d_by_key))
+                saw_flip = False
                 if tie:
-                    print(f"  NOTE {name}: all diffs are +/-1 count (or <=1e-6) — "
+                    for k in s_by_key:
+                        na, nb = _nums(s_by_key[k]), _nums(d_by_key[k])
+                        if len(na) != len(nb) or not na:
+                            tie = False
+                            break
+                        for xa, xb in zip(na, nb):
+                            ua, ub = _unit(xa), _unit(xb)
+                            x, y = _parse(xa), _parse(xb)
+                            if math.isnan(x) or math.isnan(y):
+                                tie = False
+                                break
+                            if ua is None or ub is None:
+                                # sci-notation cells: fall back to rel tol
+                                if abs(x - y) > 1e-6 * max(abs(x), abs(y)):
+                                    tie = False
+                                break
+                            u = max(ua, ub)
+                            if abs(x - y) > u * (1 + 1e-9):
+                                tie = False
+                                break
+                            if x != y:
+                                saw_flip = True
+                        if not tie:
+                            break
+                if tie and saw_flip:
+                    print(f"  NOTE {name}: rows pair on key cells and every "
+                          f"numeric diff is within one last-rendered unit — "
                           f"consistent with a documented ln-rounding tie flip, "
                           f"not an algorithm divergence")
             n_fail += 1
