@@ -861,6 +861,17 @@ object DedupOps {
       .select(col("doc_id"), col("lang"),
         array_distinct(
           expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})")).as("gr"))
+    containmentBitmapFrom(g)
+  }
+
+  /** The bitmap comparator on a prebuilt (doc_id, lang, gr) gram table —
+    * shared by [[ngramContainmentPairs]] and the dense branch of
+    * [[ngramContainmentAuto]] (which reuses its probe's cached grams;
+    * gram order within `gr` is irrelevant here — the bitmap OR is
+    * order-independent).
+    */
+  private def containmentBitmapFrom(g: DataFrame): DataFrame = {
+    JaccardSimilarity.register(g.sparkSession)
     val dict = g.select(explode(col("gr")).as("gh")).distinct()
       .withColumn("idx", row_number().over(Window.orderBy(col("gh"))) - 1)
     val nw = dict.agg(((max(col("idx")) / 64) + 1).cast("int").as("nw"))
@@ -938,6 +949,22 @@ object DedupOps {
     *     O(|A|+|B|) per CANDIDATE, not per pair of documents.
     */
   def ngramContainmentBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, ranked) = containmentGramTables(spark, sfDir)
+    // surface the regime this run is in (round-9 verdict): the probe is
+    // one aggregate over the already-cached ranking pass
+    val d = containmentDensityProbe(g, ranked)
+    println(s"[graft] containment density probe: $d tier=banded (forced — " +
+      s"use ngram_containment_auto for guarded tier selection)")
+    containmentBandedFrom(g, ranked)
+  }
+
+  /** Shared pre-candidate passes of the prefix-filter tier: the cached
+    * sorted gram table and the rarest-first per-doc gram ranking (with
+    * each gram's per-language document frequency retained for the
+    * density probe).
+    */
+  private def containmentGramTables(spark: SparkSession,
+                                    sfDir: String): (DataFrame, DataFrame) = {
     JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
@@ -954,8 +981,12 @@ object DedupOps {
     val ranked = posting.join(dfreq, Seq("lang", "gh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
-      .select(col("doc_id"), col("lang"), col("sz"), col("gh"), col("rk"))
+      .select(col("doc_id"), col("lang"), col("sz"), col("gh"), col("rk"), col("df"))
       .transform(CacheScope.barrier) // probe and index sides share one ranking pass
+    (g, ranked)
+  }
+
+  private def containmentBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame = {
     val probe = ranked
       .filter(col("rk") <= expr("sz div 5") + lit(2)) // integer ⌊sz/5⌋+2: no FP floor drift
     // Positional filter (the PPJoin refinement): grams after the match in
@@ -980,6 +1011,88 @@ object DedupOps {
         round(col("ic") / col("sza"), 4).as("cont_a"),
         round(col("ic") / col("szb"), 4).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+  }
+
+  /** Posting-density probe result for the containment family. `density`
+    * is the fraction of the corpus the typical SELECTED prefix gram's
+    * posting list spans — the direct predictor of the banded tier's
+    * candidate mass (candidates ≈ Σ_prefix df ≈ prefixRows · density ·
+    * nDocs, i.e. quadratic in nDocs whenever density is flat in nDocs).
+    * On a realistic corpus the rarest ⌊sz/5⌋+2 grams of a doc have
+    * near-singleton posting lists (density → 0 as the corpus grows); a
+    * density that holds ≥ ~1e-2 at corpus scale means the vocabulary is
+    * adversarially small relative to the corpus (the r9 sf3 sweep's
+    * synthetic regime: 31 distinct words → density ~0.3 → measured
+    * exponent ~1.7).
+    */
+  private[graft] final case class ContainmentDensity(nDocs: Long,
+                                                     meanPrefixDf: Double) {
+    def density: Double = if (nDocs == 0L) 0.0 else meanPrefixDf / nDocs
+    override def toString: String =
+      f"docs=$nDocs meanPrefixDf=$meanPrefixDf%.1f density=$density%.5f"
+  }
+
+  /** One aggregate over the already-built (cached) ranking pass: mean
+    * per-language document frequency of the grams the prefix filter
+    * would actually join on. Cost is a scan of the cached posting
+    * ranking — linear, no shuffle beyond the ranking the banded tier
+    * needs anyway.
+    */
+  private[graft] def containmentDensityProbe(g: DataFrame,
+                                             ranked: DataFrame): ContainmentDensity = {
+    val r = ranked.filter(col("rk") <= expr("sz div 5") + lit(2))
+      .agg(avg(col("df"))).head()
+    ContainmentDensity(g.count(), if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+  }
+
+  /** Tier decision from the probe — pure, unit-tested
+    * ([[graft.ContainmentGuardSpec]]).
+    *
+    *   - density < `denseDensity`: the prefix filter's selectivity
+    *     argument holds — banded tier, the 100 TB path (measured ~linear
+    *     on a realistic-vocabulary corpus, SCALE.md round 10).
+    *   - dense but ≤ `allPairsBound` docs: the bitmap all-pairs
+    *     comparator — dense overlap is exactly its design regime, and
+    *     the corpus is small enough that n²/2 popcounts are bounded
+    *     work.
+    *   - dense AND large: fail loudly. Exact containment on a corpus
+    *     whose posting lists span ≥ `denseDensity` of the documents has
+    *     Ω(n²·density) candidate mass in ANY posting-based plan — there
+    *     is no exact sub-quadratic tier to silently fall back to, and
+    *     pretending the banded join will finish (r9: measured exponent
+    *     ~1.7 at sf3, DNF on disk at sf10) helps nobody. The actionable
+    *     escape hatches are in the message.
+    */
+  private[graft] def containmentTier(d: ContainmentDensity,
+                                     denseDensity: Double = 0.02,
+                                     allPairsBound: Long = 100000L): String =
+    if (d.density < denseDensity) "banded"
+    else if (d.nDocs <= allPairsBound) "bitmap"
+    else throw new IllegalStateException(
+      s"containment guard: dense-vocabulary corpus at scale ($d): the " +
+        s"typical prefix posting list spans ${(d.density * 100).round}% of " +
+        s"${d.nDocs} documents, so exact containment has ~n²·density " +
+        s"candidate pairs and no sub-quadratic plan exists. Use the " +
+        s"minhash-LSH tier (density-immune, approximate) or raise the " +
+        s"containment threshold to shrink the prefix.")
+
+  /** Guarded containment: probes posting density on the corpus at hand,
+    * then dispatches to the tier whose design regime it is — the
+    * prefix-filter banded join when posting lists are sparse (the scale
+    * path), the bitmap all-pairs comparator when the vocabulary is dense
+    * and the corpus bounded, and a loud, actionable failure when it is
+    * dense AND large (see [[containmentTier]]). Identical results on
+    * either tier (same quadratic oracle). The probe itself is linear and
+    * reuses the banded tier's own cached pre-candidate passes; the dense
+    * branch reuses the cached gram table.
+    */
+  def ngramContainmentAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, ranked) = containmentGramTables(spark, sfDir)
+    val d = containmentDensityProbe(g, ranked)
+    val tier = containmentTier(d)
+    println(s"[graft] containment density probe: $d tier=$tier")
+    if (tier == "banded") containmentBandedFrom(g, ranked)
+    else containmentBitmapFrom(g)
   }
 
   /** Content-defined-chunking (CDC) dedup: split each normalized text at
