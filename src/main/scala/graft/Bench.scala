@@ -253,13 +253,35 @@ object Bench {
     // cache-cold), so each run starts from a clean cache.
     val fast = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
 
+    // SPARK_GRAFT_BENCH_JITGATE=1 (sweeps at sf >= 10, r9 verdict): the
+    // 1-warmup fast protocol lets a JIT compile storm (measured 140–390 s
+    // of background compilation on the minhash/CC family at sf10) race
+    // the single timed run, producing 4–6× fresh-JVM spread. The gate
+    // repeats the warmup until the compile-time delta ACROSS the last
+    // warmup falls under 3 s (max 4 warmups), so compilation is charged
+    // to warmup, not the timed run. Off by default — at bench SF the
+    // extra warmups would only add wall-clock.
+    val jitGate = sys.env.get("SPARK_GRAFT_BENCH_JITGATE").contains("1")
+
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Stat = {
       val g0 = gcMs(); val j0 = jitMs()
       if (fast) {
-        val w = once(fn)
+        var wMin = once(fn)
+        var wMax = wMin
+        var warm = 1
+        var jDelta = jitMs() - j0
+        while (jitGate && jDelta > 3000L && warm < 4) {
+          CacheScope.release(); spark.catalog.clearCache(); System.gc()
+          val jPre = jitMs()
+          val w = once(fn)
+          wMin = math.min(wMin, w); wMax = math.max(wMax, w)
+          warm += 1
+          jDelta = jitMs() - jPre
+        }
         CacheScope.release(); spark.catalog.clearCache(); System.gc()
         val t = once(fn)
-        return Stat(t, math.min(w, t), math.max(w, t), 1, gcMs() - g0, jitMs() - j0)
+        return Stat(t, math.min(wMin, t), math.max(wMax, t), warm,
+          gcMs() - g0, jitMs() - j0)
       }
       // 1. stability-gated warm-up
       var last = once(fn)
@@ -334,8 +356,10 @@ object Bench {
     // protocol id v3: v1 = warm-cache single-JVM (rounds ≤6), v2 = r7's
     // cold-cache fast mode, v3 = r8+ cold-cache + fork-per-family-chunk.
     // Totals are comparable only within one protocol id.
+    val jitGate = sys.env.get("SPARK_GRAFT_BENCH_JITGATE").contains("1")
     val runsDesc =
-      if (fast) "1 warmup + 1 cold-cache timed run"
+      if (fast && jitGate) "jit-settled warmups (<=4, settle when compile delta < 3s) + 1 cold-cache timed run"
+      else if (fast) "1 warmup + 1 cold-cache timed run"
       else "stability-gated warmup, median-of-3 (best-3-of-6 on spread)"
     if (wanted.isEmpty && !noSplit)
       runSplit(picked, sfDir, skipped, s"v3 fork-per-family-chunk; $runsDesc")
