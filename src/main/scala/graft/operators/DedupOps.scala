@@ -961,17 +961,22 @@ object DedupOps {
   /** Shared pre-candidate passes of the prefix-filter tier: the cached
     * sorted gram table and the rarest-first per-doc gram ranking (with
     * each gram's per-language document frequency retained for the
-    * density probe).
+    * density probe). `gramSql` builds the raw gram-string array from the
+    * available columns (`norm` for char n-grams, `t` for word shingles)
+    * — the char-4-gram and word-3-shingle tiers share every downstream
+    * pass.
     */
-  private def containmentGramTables(spark: SparkSession,
-                                    sfDir: String): (DataFrame, DataFrame) = {
+  private def containmentGramTables(spark: SparkSession, sfDir: String,
+      gramSql: String = charGramsSql("norm", 4)): (DataFrame, DataFrame) = {
     JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
+      .withColumn("t", split(col("norm"), " "))
       .select(col("doc_id"), col("lang"),
         sort_array(array_distinct(
-          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+          expr(s"transform($gramSql, s -> ${h32Sql("s")})"))).as("gr"))
       .withColumn("sz", size(col("gr")))
+      .filter(col("sz") > 0) // <3-token docs have no shingles: no containment defined
       .transform(CacheScope.barrier) // gram sets materialized once: postings, prefix, confirm all reuse
     val posting = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("gr")).as("gh"))
     val dfreq = posting.groupBy(col("lang"), col("gh")).agg(count(lit(1)).as("df"))
@@ -986,23 +991,56 @@ object DedupOps {
     (g, ranked)
   }
 
+  /** Prefix slack K: the prefix is the ⌊sz/5⌋+K rarest grams and a pair
+    * must collect ≥ min(K, sz−⌊0.20005·sz⌋) prefix matches before the
+    * array-carrying verify join sees it. K = 2 is the minimum that
+    * preserves recall; raising it to 8 trades +6 narrow prefix rows per
+    * doc for a multi-match requirement that collapses the verify set —
+    * measured on the 50 k-doc realistic-vocabulary corpus (round 10):
+    * 22.85 M single-shared-gram candidate pairs → the ≥K filter leaves
+    * ~0.1% of them, turning a >75 GB spill DNF (each verify row carries
+    * two ~600-element gram arrays) into an in-memory pass. Recall stays
+    * exactly 1.0: a qualifying direction misses ≤ m = ⌊0.20005·sz⌋ grams,
+    * so its m+K-gram prefix has ≥ K matches (≥ sz−m when sz < m+K).
+    */
+  private val PrefixSlack = 8
+
   private def containmentBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame = {
     val probe = ranked
-      .filter(col("rk") <= expr("sz div 5") + lit(2)) // integer ⌊sz/5⌋+2: no FP floor drift
-    // Positional filter (the PPJoin refinement): grams after the match in
-    // the common order bound the intersection — |P∩Q| ≤ min(|P|−rkP,
-    // |Q|−rkQ) + 1 — and the probe direction needs |P∩Q| ≥ 0.79995·|P|
-    // (0.8 minus the round-to-4 slop). The −1 slack absorbs any FP edge
-    // on the product; recall stays exactly 1.0, candidates drop by the
-    // pairs whose matching gram sits too deep in either doc.
+      .filter(col("rk") <= expr("sz div 5") + lit(PrefixSlack)) // integer ⌊sz/5⌋: no FP floor drift
+    // The equijoin output stays NARROW (ids + sizes + per-row flags, no
+    // gram arrays): the per-pair aggregate below is the only thing that
+    // touches all candidate rows, and the expensive array-carrying
+    // verify join runs on the tiny multi-match survivor set. Two pair
+    // filters compose, each individually recall-1.0:
+    //
+    //   - Positional (the PPJoin refinement), per ROW: a first match at
+    //     ranks (rkP, rkQ) bounds the intersection — |P∩Q| ≤
+    //     min(|P|−rkP, |Q|−rkQ) + 1 — and the probe direction needs
+    //     |P∩Q| ≥ 0.79995·|P| (0.8 minus the round-to-4 slop; the −1
+    //     absorbs any FP edge). A qualifying pair's FIRST prefix match
+    //     sits at rkP ≤ m+1, which always passes — so the pair-level
+    //     condition is EXISTS(row passing), not ALL(rows passing):
+    //     deeper matches of a true pair legitimately fail the per-row
+    //     bound and must still count toward the match total.
+    //   - Count (the PPJoin+ flavor): the qualifying direction alone
+    //     contributes ≥ min(K, sz−⌊0.20005·sz⌋) distinct prefix-gram
+    //     matches (see [[PrefixSlack]]); cross-direction double counts
+    //     only ADD, so ≥-filtering is safe.
     val cand = probe.as("p").join(ranked.as("q"),
         col("p.lang") === col("q.lang") && col("p.gh") === col("q.gh") &&
-          col("p.doc_id") =!= col("q.doc_id") &&
-          least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
-            lit(0.79995) * col("p.sz") - lit(1))
+          col("p.doc_id") =!= col("q.doc_id"))
       .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
-      .distinct()
+        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+        least(col("p.sz"), col("q.sz")).as("row_min_sz"),
+        (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+          lit(0.79995) * col("p.sz") - lit(1)).cast("int").as("pos_ok"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
+        min(col("row_min_sz")).as("min_sz"))
+      .filter(col("pos_ok") === 1 && col("matches") >= least(lit(PrefixSlack),
+        col("min_sz") - floor(lit(0.20005) * col("min_sz"))))
+      .select(col("a_id"), col("b_id"))
     cand
       .join(g.select(col("doc_id").as("a_id"), col("gr").as("ga"), col("sz").as("sza")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("gr").as("gb"), col("sz").as("szb")), Seq("b_id"))
@@ -1094,6 +1132,49 @@ object DedupOps {
     if (tier == "banded") containmentBandedFrom(g, ranked)
     else containmentBitmapFrom(g)
   }
+
+  /** Containment over word 3-shingles — the OPEN-VOCABULARY containment
+    * tier, and the family's true 100 TB path. Same banded plan as
+    * [[ngramContainmentBanded]] (shared code), different gram source,
+    * and that difference is the whole point: char-4-gram space is
+    * FINITE (≤ 36⁴ interior + a ~3-letter boundary band), so once a
+    * corpus carries more gram instances than the space holds, every
+    * posting list — including a doc's rarest — grows ∝ corpus size and
+    * prefix-filter candidates go Ω(n²) on ANY corpus (measured, round
+    * 10: the 50 k-doc realistic-vocabulary corpus already sits at
+    * saturation — mean prefix df 11.7 — and the r9 sf3 driver-corpus
+    * sweep showed the same wall earlier because 31 distinct words
+    * saturate instantly). Word 3-shingles draw from the vocabulary's
+    * CUBE: shingle space grows with the corpus (Heaps-law growth on real
+    * text), tail shingles stay near-singletons at any scale, and the
+    * prefix filter's selectivity argument holds for good — the Zipf-
+    * corpus sweep measures this tier's slope (SCALE.md round 10).
+    * Semantics: round(|A∩B|/|A|, 4) ≥ 0.8 on distinct-shingle sets,
+    * docs with < 3 tokens excluded (no shingles → containment
+    * undefined); quadratic DuckDB twin [[ngramContainmentShinglesSql]].
+    */
+  def ngramContainmentShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, ranked) = containmentGramTables(spark, sfDir, shingles3Sql("t"))
+    containmentBandedFrom(g, ranked)
+  }
+
+  val ngramContainmentShinglesSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+      |      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS gr
+      |  FROM (SELECT doc_id, lang,
+      |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |        FROM documents))
+      |SELECT a_id, b_id, cont_a, cont_b FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    round(len(list_intersect(a.gr, b.gr))::DOUBLE / len(a.gr), 4) AS cont_a,
+      |    round(len(list_intersect(a.gr, b.gr))::DOUBLE / len(b.gr), 4) AS cont_b
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(a.gr) > 0 AND len(b.gr) > 0)
+      |WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
 
   /** Content-defined-chunking (CDC) dedup: split each normalized text at
     * content-derived boundaries — a position is a cut iff the 4-gram
