@@ -62,6 +62,9 @@ object SparkEntry {
     "q31_lateral" -> (Relational.q31Lateral _),
     "q32_latest" -> (Relational.q32Latest _),
     "q15_dist" -> (Relational.q15Dist _),
+    // r10: exact percentiles via two-pass histogram refinement — the
+    // ~linear scale path q15_dist (per-group single-task sort) is not
+    "q15_exact_scalable" -> (Relational.q15ExactScalable _),
     "ev_salted_agg" -> (Skew.evSaltedAgg _),
     "ev_ts_corr" -> ((s: SparkSession, dir: String) => Temporal.evTsCorr(s, dir)),
     // Reference-parity event operators (SURVEY.md §2.2, §2.4 batch twins)
@@ -172,6 +175,11 @@ object SparkEntry {
     "dedup_threshold_panel" -> (DedupOps.dedupThresholdPanel _),
     "doc_pack" -> (SampleOps.docPack _),
     "doc_pack_ffd" -> (SampleOps.docPackFfd _),
+    // driver-checkable companion (r10): the FFD loop's exact per-shard
+    // input in decision order — tokenization/shard/sort divergences
+    // surface cross-engine here, leaving only the first-fit scan itself
+    // to the py-oracle
+    "doc_pack_ffd_order" -> (SampleOps.docPackFfdOrder _),
     "doc_shuffle" -> (SampleOps.docShuffle _),
     "doc_split_safe" -> (SampleOps.docSplitSafe _),
     "corpus_prepared" -> (CorpusPipeline.corpusPrepared _),
@@ -202,6 +210,11 @@ object SparkEntry {
     // precedent); rows-only + AccuracySpec isometry/error bounds
     "emb_opq" -> ((s: SparkSession, dir: String) => VectorOps.embOpq(s, dir)),
     "emb_ivf_pq" -> ((s: SparkSession, dir: String) => VectorOps.embIvfPq(s, dir)),
+    // r10: persisted-index split of emb_ivf_pq — build writes the
+    // cell-partitioned encoded corpus once; query probes it with
+    // partition pruning and exact re-rank (the amortized production path)
+    "emb_ivf_build" -> (VectorOps.embIvfBuild _),
+    "emb_ivf_query" -> (VectorOps.embIvfQuery _),
     "emb_recall" -> (VectorOps.embRecall _),
     "emb_sq8_knn" -> (VectorOps.embSq8Knn _),
     "emb_bq_knn" -> (VectorOps.embBqKnn _),
@@ -299,6 +312,7 @@ object SparkEntry {
     "q21_approx" -> Relational.q21ApproxSql,
     "q21_approx_prod" -> Relational.q21ApproxProdSql,
     "q15_dist" -> Relational.q15DistSql,
+    "q15_exact_scalable" -> Relational.q15ExactScalableSql,
     "ev_salted_agg" -> Skew.evSaltedAggSql,
     "ev_ts_corr" -> Temporal.evTsCorrSql,
     "ev_filter" -> EventOps.evFilterSql,
@@ -407,7 +421,9 @@ object SparkEntry {
     "doc_pack" -> SampleOps.docPackSql,
     // doc_pack_ffd: the FFD loop is not SQL-expressible — Python reference
     // oracle in tools/compare.py (PY_ORACLES) + SampleOpsSpec fill/determinism
-    // bounds; driver gate records rows-only
+    // bounds; driver gate records rows-only. doc_pack_ffd_order pins its
+    // exact per-shard input sequence cross-engine (r10).
+    "doc_pack_ffd_order" -> SampleOps.docPackFfdOrderSql,
     "doc_shuffle" -> SampleOps.docShuffleSql,
     "doc_split_safe" -> SampleOps.docSplitSafeSql,
     "corpus_prepared" -> CorpusPipeline.corpusPreparedSql,
@@ -430,6 +446,8 @@ object SparkEntry {
     "emb_center" -> VectorOps.embCenterSql,
     "emb_pq" -> VectorOps.embPqSql,
     "emb_ivf_pq" -> VectorOps.embIvfPqSql,
+    "emb_ivf_build" -> VectorOps.embIvfBuildSql,
+    "emb_ivf_query" -> VectorOps.embIvfQuerySql,
     "emb_recall" -> VectorOps.embRecallSql,
     "emb_sq8_knn" -> VectorOps.embSq8KnnSql,
     "emb_bq_knn" -> VectorOps.embBqKnnSql,

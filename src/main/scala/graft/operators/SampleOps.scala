@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns.h32Sql
@@ -352,4 +353,37 @@ object SampleOps {
       }
       .toDF("doc_id", "shard", "bin", "n_tok")
   }
+
+  /** SQL-checkable companion of [[docPackFfd]] (round-9 verdict #7, the
+    * `doc_bpe_pairs0` pattern): the FFD loop itself is not expressible
+    * in SQL, but its ENTIRE per-shard input — each document's token
+    * count, its shard, and its position in the (length desc, id asc)
+    * decision order [[ffdPack]] consumes — is one window query. With
+    * this row hash-green, the only logic the Python oracle alone covers
+    * is the first-fit bin scan over an already-pinned sequence; a
+    * divergence in tokenization, sharding, or sort order would surface
+    * HERE, cross-engine, not just in the py-oracle replica.
+    */
+  def docPackFfdOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+        expr(s"${h32Sql("concat('ffd|', cast(doc_id as string))")} % $FfdShards")
+          .as("shard"))
+      .withColumn("decision_rank", row_number().over(w).cast("long"))
+      .select(col("shard"), col("decision_rank"), col("doc_id"), col("n_tok"))
+  }
+
+  val docPackFfdOrderSql: String =
+    s"""SELECT shard, decision_rank, doc_id, n_tok FROM (
+       |  SELECT doc_id, n_tok, shard,
+       |    row_number() OVER (PARTITION BY shard
+       |      ORDER BY n_tok DESC, doc_id ASC) AS decision_rank
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tok,
+       |      ('0x' || substr(md5('ffd|' || doc_id), 1, 8))::BIGINT % $FfdShards AS shard
+       |    FROM documents))""".stripMargin
 }

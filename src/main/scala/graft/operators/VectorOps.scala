@@ -1050,6 +1050,171 @@ object VectorOps {
        |  JOIN n c ON c.vec_id = cq.n_id)
        |WHERE rank <= 5""".stripMargin
 
+  /** Deterministic on-disk location of the persisted IVF-PQ index for a
+    * corpus. Keyed by the corpus path, its vector count, and the index
+    * hyper-params, so a regenerated corpus or a param change can never
+    * serve a stale index (production systems version indexes explicitly;
+    * the count is the cheap fingerprint available from parquet metadata).
+    * Base dir overridable via `SPARK_GRAFT_INDEX_DIR`.
+    */
+  private[graft] def ivfIndexDir(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val base = sys.props.get("graft.index.dir") // test isolation hook
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_index")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|n=$n|cells=16|m=16|k=64|iters=2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$base/ivfpq_$tag"
+  }
+
+  /** True iff the index at `dir` is complete (the codes table is written
+    * LAST in [[buildIvfIndex]], so its `_SUCCESS` marker implies the
+    * centroids and codebooks landed too). Hadoop FS API, not java.io —
+    * the index lives wherever the cluster's filesystem is.
+    */
+  private def ivfIndexExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Index-BUILD pass of the persisted IVF-PQ index (round-9 verdict #4:
+    * real users build once and query many — the fused `emb_ivf_pq` row
+    * re-trains per run, so its sf10 cost is dominated by one-time work).
+    * Trains the same structures as [[embIvfPq]] (coarse [[lloyd]]
+    * centroids; [[pqTrain]] codebooks) and WRITES three artifacts under
+    * [[ivfIndexDir]]:
+    *
+    *   - `centroids.parquet` (p_id, pv) — cells·d doubles;
+    *   - `codebooks.parquet` (s, c_id, cv) — d·k doubles;
+    *   - `codes.parquet` (vec_id, s, code) **partitioned by `cell`** —
+    *     the m-byte-per-vector encoded corpus laid out as inverted
+    *     lists: a query probing nprobe cells READS nprobe directories
+    *     (parquet partition pruning), never the whole index.
+    *
+    * Returns the per-cell index stats read BACK from the written files
+    * (proving the artifact is loadable): cell, vector count, and the
+    * sum of all PQ codes in the cell — a checksum over exactly the
+    * bytes a probe will trust, mirrored bit-exactly by the DuckDB twin
+    * re-deriving the same deterministic training chain.
+    */
+  def embIvfBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ivfIndexDir(spark, sfDir)
+    buildIvfIndex(spark, sfDir, dir)
+    spark.read.parquet(s"$dir/codes.parquet")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(countDistinct(col("vec_id")).as("n_vectors"),
+        sum(col("code")).cast("long").as("code_sum"))
+  }
+
+  private def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String): Unit = {
+    CosineSimilarity.register(spark)
+    graft.functions.L2Distance.register(spark)
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
+    val piv = lloyd(e, 16, 2)._1
+      .select(col("c_id").as("p_id"), col("cv").as("pv"))
+      .transform(CacheScope.barrier)
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val cellAssign = e.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(v, pv)"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("p_id").as("cell"))
+    val sub = pqSub(e, 16).transform(CacheScope.barrier)
+    val cent = pqTrain(sub, 64, 2)
+      .transform(CacheScope.barrier) // written AND read by the encode pass
+    val codes = pqAssignTo(sub, cent)
+      .select(col("vec_id"), col("s"), col("c_id").as("code"))
+    piv.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    cent.select(col("s"), col("c_id"), col("cv"))
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    // one file per inverted list (cells are the unit a probe reads);
+    // codes.parquet is written LAST — its _SUCCESS is the index marker
+    codes.join(cellAssign, Seq("vec_id"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** Query pass against the PERSISTED IVF-PQ index — the amortized
+    * production path ([[embIvfBuild]] runs once; this runs per query
+    * batch). Reads centroids + codebooks (broadcast-sized) and ONLY the
+    * probed cells' inverted lists from `codes.parquet` — the probed
+    * cell set (nprobe × |Q| ≤ 20 scalars here; bounded driver state of
+    * the BPE-merge-table class) is inlined as a literal partition
+    * filter, so the parquet scan prunes the unprobed directories on
+    * disk. ADC-scores the pruned codes against the per-query LUT, then
+    * re-ranks the top `cand` exactly against the live corpus. Builds
+    * the index first if missing (self-sufficient; the bench warmup
+    * absorbs the build, so the timed run measures pure query cost —
+    * index REUSE, which IvfIndexSpec asserts by mtime). Identical
+    * output to [[embIvfPq]] — same oracle, end-to-end: a stale or
+    * corrupt index hash-fails the driver gate.
+    */
+  def embIvfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    graft.functions.L2Distance.register(spark)
+    val dir = ivfIndexDir(spark, sfDir)
+    if (!ivfIndexExists(spark, dir)) buildIvfIndex(spark, sfDir, dir)
+    val piv = spark.read.parquet(s"$dir/centroids.parquet")
+    val cent = spark.read.parquet(s"$dir/codebooks.parquet")
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .transform(CacheScope.barrier) // probes, LUT, and re-rank all reuse
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("p_id").asc)
+    val probes = q.join(broadcast(piv), lit(true))
+      .withColumn("pcos", expr("cosine_sim(qv, pv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("p_id").as("cell"))
+      .transform(CacheScope.barrier) // partition filter + ADC join share it
+    val probedCells = probes.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col("cell").isin(probedCells: _*))
+    val lut = pqSub(q.select(col("q_id").as("vec_id"), col("qv").as("v")), 16)
+      .join(broadcast(cent), Seq("s"))
+      .select(col("vec_id").as("q_id"), col("s"), col("c_id").as("code"),
+        expr(l2Sql("sv", "cv")).as("pd"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    val cands = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg((sum(col("pd")) / lit(1e12)).as("adist"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= 30)
+      .select(col("q_id"), col("n_id"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cands.join(e.select(col("vec_id").as("n_id"), col("v").as("cv")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", expr("cosine_sim(qv, cv)"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB twin of [[embIvfBuild]]'s returned stats: the same
+    * deterministic coarse + PQ training chains re-derived in SQL, per-cell
+    * vector counts and code checksums. */
+  val embIvfBuildSql: String =
+    s"""WITH $ivfCellProbeCtes,
+       |${pqCtesDuck("p", m = 16, k = 64, iters = 2)}
+       |SELECT c.cell, count(DISTINCT co.vec_id) AS n_vectors,
+       |  CAST(sum(co.code) AS BIGINT) AS code_sum
+       |FROM pcodes co JOIN cells c ON co.vec_id = c.vec_id
+       |GROUP BY c.cell""".stripMargin
+
+  /** [[embIvfQuery]] emits exactly [[embIvfPq]]'s rows — same oracle. */
+  val embIvfQuerySql: String = embIvfPqSql
+
   /** Scalar-quantized (SQ8) ANN with exact re-rank — the memory-compression
     * tier between brute force and PQ: each dimension is affinely mapped to
     * an int8 code via per-dimension corpus min/max, so a 64-dim float
