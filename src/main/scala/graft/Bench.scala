@@ -50,11 +50,10 @@ object Bench {
   // round 5's sf1 total was 2/3 quadratic-twin time.
   private val quadraticTwins = Set(
     "ngram_containment_pairs", "ngram_jaccard_pairs", "simhash_neardup",
-    // the guarded dispatcher: on the dense synthetic corpus its density
-    // probe selects the bitmap all-pairs tier, so sweeping it would
-    // re-measure the quadratic comparator; both dispatch targets are
-    // already separate rows
-    "ngram_containment_auto")
+    // the guarded dispatchers: on the dense synthetic corpus their
+    // probes select the quadratic comparator, so sweeping them would
+    // re-measure it; both dispatch targets are already separate rows
+    "ngram_containment_auto", "ngram_jaccard_auto")
 
   /** med, min, max, warm-up count, gc delta ms, jit delta ms. */
   final case class Stat(med: Double, min: Double, max: Double,

@@ -152,6 +152,9 @@ object SparkEntry {
     "simhash_banded" -> (DedupOps.simhashBanded _),
     "ngram_jaccard_pairs" -> (DedupOps.ngramJaccardPairs _),
     "ngram_jaccard_banded" -> (DedupOps.ngramJaccardBanded _),
+    // r10: candidate-mass-guarded tier dispatch (the jaccard mirror of
+    // ngram_containment_auto) — same rows on either tier, same oracle
+    "ngram_jaccard_auto" -> (DedupOps.ngramJaccardAuto _),
     "fuzzy_name_pairs" -> (DedupOps.fuzzyNamePairs _),
     "ngram_containment_pairs" -> (DedupOps.ngramContainmentPairs _),
     "ngram_containment_banded" -> (DedupOps.ngramContainmentBanded _),
@@ -390,6 +393,7 @@ object SparkEntry {
     // same oracle on purpose: the banded tier must reproduce the blocked
     // quadratic tier's result exactly (prefix filtering has recall 1.0)
     "ngram_jaccard_banded" -> DedupOps.ngramJaccardPairsSql,
+    "ngram_jaccard_auto" -> DedupOps.ngramJaccardPairsSql,
     "fuzzy_name_pairs" -> DedupOps.fuzzyNamePairsSql,
     "ngram_containment_pairs" -> DedupOps.ngramContainmentPairsSql,
     // same oracle on purpose: the banded tier must reproduce the

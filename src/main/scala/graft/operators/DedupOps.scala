@@ -798,6 +798,23 @@ object DedupOps {
     * id. Nothing single-task, nothing all-pairs (PlanSpec-asserted).
     */
   def ngramJaccardBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, ranked) = jaccardGramTables(spark, sfDir)
+    // surface the regime this run is in (round-10; the jaccard mirror of
+    // the containment density probe): one aggregate over the cached
+    // ranking pass, printed not guarded — this row's tier is forced
+    val m = jaccardMassProbe(g, ranked)
+    println(s"[graft] jaccard candidate-mass probe: $m tier=banded (forced " +
+      s"— use ngram_jaccard_auto for guarded tier selection)")
+    jaccardBandedFrom(g, ranked)
+  }
+
+  /** Shared pre-candidate passes of the jaccard prefix-filter tier (the
+    * [[containmentGramTables]] shape with the length-bucket block the
+    * symmetric semantics allow): cached sorted gram table and the
+    * rarest-first per-doc ranking.
+    */
+  private def jaccardGramTables(spark: SparkSession,
+                                sfDir: String): (DataFrame, DataFrame) = {
     JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
@@ -815,6 +832,10 @@ object DedupOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
       .select(col("doc_id"), col("lang"), col("lenb"), col("sz"), col("gh"), col("rk"))
       .transform(CacheScope.barrier) // probe and index sides share one ranking pass
+    (g, ranked)
+  }
+
+  private def jaccardBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame = {
     val probe = ranked.filter(col("rk") <= expr("(3 * sz) div 5") + lit(2))
     val cand = probe.as("p").join(ranked.as("q"),
         col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
@@ -830,6 +851,136 @@ object DedupOps {
       .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
       .filter(col("jacc") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  private[graft] final case class JaccardCandidateMass(nDocs: Long,
+                                                       candRows: Double) {
+    def rowsPerDoc: Double = if (nDocs == 0L) 0.0 else candRows / nDocs
+    override def toString: String =
+      f"docs=$nDocs candRows=$candRows%.3g rowsPerDoc=$rowsPerDoc%.1f"
+  }
+
+  /** EXACT pre-count of the banded candidate join's output: the join is
+    * an equijoin on (lang, lenb, gh) of the probe prefix against the
+    * full posting ranking, so its row count is Σ over keys of
+    * probe-count × posting-count — one aggregate over the cached ranking
+    * pass, no wide rows, no self-join. Round-10 motivation: on the
+    * realistic-vocabulary 150 k-doc Zipf corpus this mass exceeded
+    * 3×10⁹ rows and the candidate shuffle DNF'd a 79 GB disk — jaccard's
+    * t = 0.4 prefix spans 60% of every document's grams, so
+    * MID-FREQUENCY grams (absent from containment's 20% rarest-only
+    * prefix) dominate the sum, and no join-order trick avoids
+    * GENERATING the pairs. The probe predicts that wall for the price
+    * of a count.
+    */
+  private[graft] def jaccardMassProbe(g: DataFrame,
+                                      ranked: DataFrame): JaccardCandidateMass = {
+    val byKey = ranked.groupBy(col("lang"), col("lenb"), col("gh"))
+      .agg(count(lit(1)).cast("double").as("ic"),
+        sum(when(col("rk") <= expr("(3 * sz) div 5") + lit(2), 1L)
+          .otherwise(0L)).cast("double").as("pc"))
+    val r = byKey.agg(sum(col("pc") * col("ic"))).head()
+    JaccardCandidateMass(g.count(), if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+  }
+
+  private[graft] final case class JaccardMassCheck(candRows: Double,
+                                                   bareJoinRows: Long)
+
+  /** Test hook ([[graft.JaccardGuardSpec]]): the probe's Σ pc×ic next to
+    * the MATERIALIZED row count of the bare candidate equijoin (same
+    * keys, no positional/self predicates) — the two must agree exactly,
+    * which is what makes the probe a pre-count rather than an estimate.
+    */
+  private[graft] def jaccardMassProbe2(spark: SparkSession,
+                                       sfDir: String): JaccardMassCheck = {
+    val (g, ranked) = jaccardGramTables(spark, sfDir)
+    val m = jaccardMassProbe(g, ranked)
+    val probe = ranked.filter(col("rk") <= expr("(3 * sz) div 5") + lit(2))
+    val bare = probe.as("p").join(ranked.as("q"),
+      col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
+        col("p.gh") === col("q.gh")).count()
+    JaccardMassCheck(m.candRows, bare)
+  }
+
+  /** Tier decision from the mass probe — pure, unit-tested
+    * ([[graft.JaccardGuardSpec]]).
+    *
+    *   - candidate mass ≤ `bandedRowBound` (default 2×10⁹ narrow rows,
+    *     ~50 GB shuffled): banded tier — the exact scale path while the
+    *     prefix join's output is storable.
+    *   - above the bound but ≤ `allPairsBound` docs: the blocked
+    *     quadratic comparator — n²/2 merge-pass comparisons are bounded
+    *     work on a bounded corpus, and they never materialize a
+    *     candidate exchange.
+    *   - above both: fail loudly. At t = 0.4 the prefix is 60% of each
+    *     gram set, so candidate mass tracks Σ df², which grows
+    *     super-linearly on ANY realistic corpus — there is no exact
+    *     sub-quadratic plan at low thresholds. The escape hatches are
+    *     in the message: minhash-LSH (collision rate tracks SIMILARITY,
+    *     not gram frequency — measured sub-linear at sf10 and on the
+    *     Zipf corpus) or a higher threshold (t = 0.8 shrinks the prefix
+    *     to containment's regime).
+    */
+  private[graft] def jaccardTier(m: JaccardCandidateMass,
+                                 bandedRowBound: Double = 2e9,
+                                 allPairsBound: Long = 100000L): String =
+    if (m.candRows <= bandedRowBound) "banded"
+    else if (m.nDocs <= allPairsBound) "pairs"
+    else throw new IllegalStateException(
+      s"jaccard guard: prefix-filter candidate mass ~${m.candRows.toLong} " +
+        s"rows on ${m.nDocs} docs ($m): at threshold 0.4 the probe prefix " +
+        s"spans 60% of each document's grams, so mid-frequency grams make " +
+        s"the candidate join's output super-linear and no exact " +
+        s"sub-quadratic plan exists. Use the minhash-LSH tier " +
+        s"(approximate; collision rate tracks similarity, not gram " +
+        s"frequency) or raise the jaccard threshold to shrink the prefix.")
+
+  /** All three ngram-family guard probes for a corpus, for
+    * [[graft.NgramProbe]]: (name, probe-string) per gram source. Runs
+    * the gram + ranking passes only — the linear part of each banded
+    * plan — never a candidate join.
+    */
+  private[graft] def ngramProbes(spark: SparkSession,
+                                 sfDir: String): Seq[(String, String)] = {
+    val (jg, jranked) = jaccardGramTables(spark, sfDir)
+    val jm = jaccardMassProbe(jg, jranked)
+    spark.catalog.clearCache(); CacheScope.release()
+    val (cg, cranked) = containmentGramTables(spark, sfDir)
+    val cd = containmentDensityProbe(cg, cranked)
+    spark.catalog.clearCache(); CacheScope.release()
+    val (sg, sranked) = containmentGramTables(spark, sfDir,
+      graft.functions.TextFns.shingles3Sql("t"))
+    val sd = containmentDensityProbe(sg, sranked)
+    spark.catalog.clearCache(); CacheScope.release()
+    Seq("jaccard_char4" -> jm.toString,
+      "containment_char4" -> cd.toString,
+      "containment_shingle3" -> sd.toString)
+  }
+
+  /** Guarded jaccard: probes the banded tier's exact candidate mass on
+    * the corpus at hand, then dispatches to the tier whose design regime
+    * it is — identical results either way (same quadratic oracle as
+    * [[ngramJaccardPairs]]). The probe reuses the banded tier's own
+    * cached pre-candidate passes; the quadratic branch reuses the cached
+    * gram table. The jaccard mirror of [[ngramContainmentAuto]].
+    */
+  def ngramJaccardAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, ranked) = jaccardGramTables(spark, sfDir)
+    val m = jaccardMassProbe(g, ranked)
+    val tier = jaccardTier(m)
+    println(s"[graft] jaccard candidate-mass probe: $m tier=$tier")
+    if (tier == "banded") jaccardBandedFrom(g, ranked)
+    else {
+      val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"),
+        col("gr").as("ga"))
+      val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"),
+        col("gr").as("gb"))
+      a.join(b, Seq("lang", "lenb"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
+        .filter(col("jacc") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+    }
   }
 
   /** Asymmetric containment pairs: C(A ⊂ B) = |A∩B| / |A| over the same
@@ -1064,23 +1215,35 @@ object DedupOps {
     * exponent ~1.7).
     */
   private[graft] final case class ContainmentDensity(nDocs: Long,
-                                                     meanPrefixDf: Double) {
+                                                     meanPrefixDf: Double,
+                                                     candRows: Double) {
     def density: Double = if (nDocs == 0L) 0.0 else meanPrefixDf / nDocs
     override def toString: String =
-      f"docs=$nDocs meanPrefixDf=$meanPrefixDf%.1f density=$density%.5f"
+      f"docs=$nDocs meanPrefixDf=$meanPrefixDf%.1f density=$density%.5f " +
+        f"candRows=$candRows%.3g"
   }
 
-  /** One aggregate over the already-built (cached) ranking pass: mean
-    * per-language document frequency of the grams the prefix filter
-    * would actually join on. Cost is a scan of the cached posting
-    * ranking — linear, no shuffle beyond the ranking the banded tier
-    * needs anyway.
+  /** One aggregate over the already-built (cached) ranking pass: the
+    * mean per-language document frequency of the grams the prefix
+    * filter would actually join on, AND the EXACT row count of the
+    * candidate equijoin those prefixes generate — the join is keyed on
+    * (lang, gh) and the ranking already carries each gram's df, so
+    * Σ df over prefix rows IS the join's output (before the count/
+    * positional/self predicates). Round-10 lesson from the Zipf sweep:
+    * density alone misses the char-gram SATURATION regime — on a
+    * realistic 2¹⁸-word corpus density stays ~10⁻⁴ while meanPrefixDf
+    * grows ∝ n (finite gram space), so candidates go Ω(n²) with no
+    * density signal; the absolute mass is the honest guard. Cost is a
+    * scan of the cached posting ranking — linear, no shuffle beyond the
+    * ranking the banded tier needs anyway.
     */
   private[graft] def containmentDensityProbe(g: DataFrame,
                                              ranked: DataFrame): ContainmentDensity = {
-    val r = ranked.filter(col("rk") <= expr("sz div 5") + lit(2))
-      .agg(avg(col("df"))).head()
-    ContainmentDensity(g.count(), if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+    val r = ranked.filter(col("rk") <= expr("sz div 5") + lit(PrefixSlack))
+      .agg(avg(col("df")), sum(col("df").cast("double"))).head()
+    ContainmentDensity(g.count(),
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
   /** Tier decision from the probe — pure, unit-tested
@@ -1103,16 +1266,34 @@ object DedupOps {
     */
   private[graft] def containmentTier(d: ContainmentDensity,
                                      denseDensity: Double = 0.02,
-                                     allPairsBound: Long = 100000L): String =
-    if (d.density < denseDensity) "banded"
-    else if (d.nDocs <= allPairsBound) "bitmap"
-    else throw new IllegalStateException(
-      s"containment guard: dense-vocabulary corpus at scale ($d): the " +
-        s"typical prefix posting list spans ${(d.density * 100).round}% of " +
-        s"${d.nDocs} documents, so exact containment has ~n²·density " +
-        s"candidate pairs and no sub-quadratic plan exists. Use the " +
-        s"minhash-LSH tier (density-immune, approximate) or raise the " +
-        s"containment threshold to shrink the prefix.")
+                                     allPairsBound: Long = 100000L,
+                                     bandedRowBound: Double = 2e9): String =
+    if (d.density >= denseDensity) {
+      if (d.nDocs <= allPairsBound) "bitmap"
+      else throw new IllegalStateException(
+        s"containment guard: dense-vocabulary corpus at scale ($d): the " +
+          s"typical prefix posting list spans ${(d.density * 100).round}% of " +
+          s"${d.nDocs} documents, so exact containment has ~n²·density " +
+          s"candidate pairs and no sub-quadratic plan exists. Use the " +
+          s"minhash-LSH tier (density-immune, approximate) or raise the " +
+          s"containment threshold to shrink the prefix.")
+    } else if (d.candRows > bandedRowBound) {
+      // saturation regime (round 10): sparse DENSITY but super-linear
+      // MASS — the finite char-4-gram space has filled up, every posting
+      // list grows ∝ corpus, and the banded join's exact pre-count says
+      // its output is no longer storable. No density reading rescues a
+      // join whose output doesn't fit.
+      if (d.nDocs <= allPairsBound) "bitmap"
+      else throw new IllegalStateException(
+        s"containment guard: char-gram space saturated at scale ($d): the " +
+          s"prefix-filter candidate join would generate ~${d.candRows.toLong} " +
+          s"rows — the gram space is finite, so past saturation posting " +
+          s"lists grow with the corpus and candidates are Ω(n²) regardless " +
+          s"of density. Use the word-shingle tier " +
+          s"(ngram_containment_shingles — open vocabulary, Heaps growth, " +
+          s"the 100 TB containment path) or the minhash-LSH tier " +
+          s"(approximate).")
+    } else "banded"
 
   /** Guarded containment: probes posting density on the corpus at hand,
     * then dispatches to the tier whose design regime it is — the

@@ -11,21 +11,34 @@ import graft.operators.DedupOps
 class ContainmentGuardSpec extends SparkSpec {
   import DedupOps.{ContainmentDensity, containmentTier}
 
-  test("tier decision: sparse density selects the banded scale tier") {
-    assert(containmentTier(ContainmentDensity(1000000L, 3.0)) == "banded")
-    assert(containmentTier(ContainmentDensity(0L, 0.0)) == "banded")
+  test("tier decision: sparse density + storable mass selects the banded scale tier") {
+    assert(containmentTier(ContainmentDensity(1000000L, 3.0, 4e8)) == "banded")
+    assert(containmentTier(ContainmentDensity(0L, 0.0, 0.0)) == "banded")
   }
 
   test("tier decision: dense but bounded corpus selects the bitmap comparator") {
     // the synthetic driver corpus regime: posting lists span ~30% of docs
-    assert(containmentTier(ContainmentDensity(5000L, 1500.0)) == "bitmap")
+    assert(containmentTier(ContainmentDensity(5000L, 1500.0, 9e8)) == "bitmap")
   }
 
   test("tier decision: dense at scale fails loudly with the escape hatches") {
     val e = intercept[IllegalStateException](
-      containmentTier(ContainmentDensity(10000000L, 3000000.0)))
+      containmentTier(ContainmentDensity(10000000L, 3000000.0, 1e13)))
     assert(e.getMessage.contains("minhash"))
     assert(e.getMessage.contains("no sub-quadratic plan"))
+  }
+
+  test("tier decision: saturation regime (sparse density, over-mass) is guarded too") {
+    // the round-10 Zipf measurement: density ~2e-4 (reads sparse) but
+    // meanPrefixDf grew 11.7 -> 33.2 on 3x docs — finite char-4-gram
+    // space saturating, candidate mass super-linear with no density
+    // signal. Bounded corpus -> bitmap; at scale -> loud, naming the
+    // open-vocabulary shingle tier.
+    assert(containmentTier(ContainmentDensity(50000L, 40.0, 3e9)) == "bitmap")
+    val e = intercept[IllegalStateException](
+      containmentTier(ContainmentDensity(10000000L, 500.0, 1e12)))
+    assert(e.getMessage.contains("ngram_containment_shingles"))
+    assert(e.getMessage.contains("saturated"))
   }
 
   test("driver corpus (sf0.001): auto matches the quadratic tier") {
