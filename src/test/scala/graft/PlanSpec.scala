@@ -197,6 +197,11 @@ class PlanSpec extends SparkSpec {
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
       "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx",
       "ngram_containment_pairs", "emb_recall", // composes emb_knn + emb_ivf_trained
+      // the guarded dispatcher picks the bitmap tier on this corpus (the
+      // r10 slack-8 probe reads the sf0.001 density at 0.021, just over
+      // the 0.02 bound) — the 1-row bitmap-width broadcast is the same
+      // wanted plan as ngram_containment_pairs above
+      "ngram_containment_auto",
       "dedup_ensemble_clusters", // composes embSemdedup's pivot broadcast
       "emb_sq8_knn", // query-side broadcast vs codes + 1-row dim-stats broadcast
       "dedup_lsh_recall", // two 1-row count aggregates crossed into the scalar row
@@ -211,6 +216,8 @@ class PlanSpec extends SparkSpec {
       "emb_bq_recall", // composes emb_knn + emb_bq_knn (both allowlisted)
       "doc_ccnet_buckets", // composes doc_lm_score (1-row vocab broadcast)
       "emb_ivf_pq", // composes lloyd's pivot broadcast (emb_ivf_trained pattern)
+      "emb_ivf_build", // persisted-index build: the same lloyd pivot broadcast
+      "emb_ivf_query", // probe side broadcasts the read-back centroids vs queries
       "emb_cov", // 1-row corpus-count broadcast (same pattern as doc_tfidf_top)
       "emb_mips_knn", // query-side broadcast vs inequality, like emb_knn
       "emb_range_search", // query-side broadcast vs inequality, like emb_knn
