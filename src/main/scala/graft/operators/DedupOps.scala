@@ -779,18 +779,21 @@ object DedupOps {
     *
     * Recall guarantee (t = 0.4): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A| (union ≥
     * |A|), so at most ⌊0.6·|A|⌋ of A's grams are missing from B and any
-    * ⌊3|A|/5⌋+2 of them — in particular the rarest by within-language df
-    * — include one shared with B. Probing both directions (p↔q roles
-    * swap across the self-join) gives recall 1.0 by construction; the
-    * confirm runs the same codegen'd `jaccard_sorted` merge on the same
-    * hashed gram sets, so the emitted rows hash-match the quadratic tier
+    * ⌊3|A|/5⌋+K of them — in particular the rarest by within-language df
+    * — include ≥ min(K, |A|−⌊3|A|/5⌋) shared with B (K =
+    * [[JaccardPrefixSlack]]). Probing both directions (p↔q roles swap
+    * across the self-join) gives recall 1.0 by construction; the confirm
+    * runs the same codegen'd `jaccard_sorted` merge on the same hashed
+    * gram sets, so the emitted rows hash-match the quadratic tier
     * exactly.
     *
-    * The PPJoin positional filter tightens candidates in the common
-    * rarest-first order: J ≥ t needs |P∩Q| ≥ t·(|P|+|Q|)/(1+t), and
-    * grams at rank ≥ rk bound the intersection by
-    * min(|P|−rkP, |Q|−rkQ)+1; the −1 slack absorbs FP edges so recall
-    * stays exact.
+    * Candidates are thinned by the PPJoin positional filter (pair-level
+    * EXISTS over min(|P|−rkP, |Q|−rkQ)+1 ≥ t/(1+t)·(|P|+|Q|); the −1
+    * slack absorbs FP edges) AND the PPJoin+ match-count filter (round
+    * 11, ported from [[containmentBandedFrom]]'s measured win): the
+    * candidate equijoin output stays narrow and only multi-match
+    * survivors reach the array-carrying verify join — derivations at
+    * [[jaccardBandedFrom]].
     *
     * 100 TB shape: df and ranking are (lang, gh)- and doc-keyed shuffles
     * of slim rows; the candidate join is keyed on (lang, lenb, gh) with
@@ -801,12 +804,27 @@ object DedupOps {
     val (g, ranked) = jaccardGramTables(spark, sfDir)
     // surface the regime this run is in (round-10; the jaccard mirror of
     // the containment density probe): one aggregate over the cached
-    // ranking pass, printed not guarded — this row's tier is forced
-    val m = jaccardMassProbe(g, ranked)
-    println(s"[graft] jaccard candidate-mass probe: $m tier=banded (forced " +
-      s"— use ngram_jaccard_auto for guarded tier selection)")
+    // ranking pass, printed not guarded — this row's tier is forced.
+    // Opt-in (round 11): the probe is diagnostics, not plan input, and
+    // running it inside the operator inflated the benched row relative
+    // to pre-r10 rounds; SPARK_GRAFT_PROBE=1 turns it back on.
+    if (probeLogEnabled) {
+      val m = jaccardMassProbe(g, ranked)
+      println(s"[graft] jaccard candidate-mass probe: $m tier=banded (forced " +
+        s"— use ngram_jaccard_auto for guarded tier selection)")
+    }
     jaccardBandedFrom(g, ranked)
   }
+
+  /** Diagnostic-probe logging in the FORCED banded tiers (the auto tiers
+    * always probe — there the probe is the dispatch input, not a log
+    * line). Off by default so the benched forced rows measure the
+    * operator, not the diagnostic (r10 ADVICE: r10 timings of
+    * `ngram_jaccard_banded` / `ngram_containment_banded` include one
+    * probe aggregate each).
+    */
+  private def probeLogEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_PROBE").contains("1")
 
   /** Shared pre-candidate passes of the jaccard prefix-filter tier (the
     * [[containmentGramTables]] shape with the length-bucket block the
@@ -835,16 +853,59 @@ object DedupOps {
     (g, ranked)
   }
 
+  /** Jaccard prefix slack K (the [[PrefixSlack]] companion, ported round
+    * 11): the probe prefix is the ⌊3·sz/5⌋+K rarest grams and a pair
+    * must collect ≥ min(K, min_sz − ⌊3·min_sz/5⌋) prefix matches before
+    * the array-carrying verify join sees it. Recall stays exactly 1.0:
+    * J(P,Q) ≥ 0.4 ⟹ |P∩Q| ≥ 0.4·|P∪Q| ≥ 0.4·|P|, so the direction
+    * probing from the smaller side (size min_sz; BOTH directions of a
+    * symmetric-J pair probe) misses ≤ ⌊3·min_sz/5⌋ of its grams from
+    * the other set, and its min(⌊3·min_sz/5⌋+K, min_sz)-gram prefix
+    * therefore holds ≥ min(K, min_sz − ⌊3·min_sz/5⌋) shared grams.
+    * K = 2 is the recall minimum (one guaranteed match needs +1); K = 8
+    * mirrors containment's measured trade — +6 narrow prefix rows per
+    * doc buys a multi-match requirement that collapses the verify set,
+    * whose rows each carry two ~600-element gram arrays.
+    */
+  private val JaccardPrefixSlack = 8
+
   private def jaccardBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame = {
-    val probe = ranked.filter(col("rk") <= expr("(3 * sz) div 5") + lit(2))
+    val probe = ranked.filter(
+      col("rk") <= expr("(3 * sz) div 5") + lit(JaccardPrefixSlack))
+    // The equijoin output stays NARROW (ids + sizes + a per-row
+    // positional flag, no gram arrays) and the per-pair aggregate below
+    // is the only thing touching all candidate rows — the PPJoin+
+    // composition ported from [[containmentBandedFrom]]. Two pair
+    // filters compose, each individually recall-1.0:
+    //
+    //   - Positional (PPJoin), per ROW: the common rarest-first order
+    //     makes every gram before the pair's FIRST shared gram unshared
+    //     on BOTH sides, so that first match at ranks (rkP, rkQ) bounds
+    //     |P∩Q| ≤ min(|P|−rkP, |Q|−rkQ) + 1, and J ≥ 0.4 needs
+    //     |P∩Q| ≥ (0.4/1.4)·(|P|+|Q|). The first prefix match of a
+    //     qualifying pair always passes (−1 absorbs FP edges), so the
+    //     pair-level condition is EXISTS(row passing), not ALL — deeper
+    //     matches of a true pair legitimately fail the per-row bound
+    //     and must still count toward the match total.
+    //   - Count (PPJoin+): ≥ min(K, min_sz − ⌊3·min_sz/5⌋) distinct
+    //     prefix matches from the smaller side's direction alone (see
+    //     [[JaccardPrefixSlack]]); cross-direction double counts only
+    //     ADD, so ≥-filtering is safe.
     val cand = probe.as("p").join(ranked.as("q"),
         col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
-          col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id") &&
-          least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
-            lit(0.4 / 1.4) * (col("p.sz") + col("q.sz")) - lit(1))
+          col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id"))
       .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
-      .distinct()
+        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+        least(col("p.sz"), col("q.sz")).as("row_min_sz"),
+        (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+          lit(0.4 / 1.4) * (col("p.sz") + col("q.sz")) - lit(1))
+          .cast("int").as("pos_ok"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
+        min(col("row_min_sz")).as("min_sz"))
+      .filter(col("pos_ok") === 1 && col("matches") >=
+        least(lit(JaccardPrefixSlack), col("min_sz") - expr("(3 * min_sz) div 5")))
+      .select(col("a_id"), col("b_id"))
     cand
       .join(g.select(col("doc_id").as("a_id"), col("gr").as("ga")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("gr").as("gb")), Seq("b_id"))
@@ -877,7 +938,7 @@ object DedupOps {
                                       ranked: DataFrame): JaccardCandidateMass = {
     val byKey = ranked.groupBy(col("lang"), col("lenb"), col("gh"))
       .agg(count(lit(1)).cast("double").as("ic"),
-        sum(when(col("rk") <= expr("(3 * sz) div 5") + lit(2), 1L)
+        sum(when(col("rk") <= expr("(3 * sz) div 5") + lit(JaccardPrefixSlack), 1L)
           .otherwise(0L)).cast("double").as("pc"))
     val r = byKey.agg(sum(col("pc") * col("ic"))).head()
     JaccardCandidateMass(g.count(), if (r.isNullAt(0)) 0.0 else r.getDouble(0))
@@ -895,7 +956,8 @@ object DedupOps {
                                        sfDir: String): JaccardMassCheck = {
     val (g, ranked) = jaccardGramTables(spark, sfDir)
     val m = jaccardMassProbe(g, ranked)
-    val probe = ranked.filter(col("rk") <= expr("(3 * sz) div 5") + lit(2))
+    val probe = ranked.filter(
+      col("rk") <= expr("(3 * sz) div 5") + lit(JaccardPrefixSlack))
     val bare = probe.as("p").join(ranked.as("q"),
       col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
         col("p.gh") === col("q.gh")).count()
@@ -1102,10 +1164,14 @@ object DedupOps {
   def ngramContainmentBanded(spark: SparkSession, sfDir: String): DataFrame = {
     val (g, ranked) = containmentGramTables(spark, sfDir)
     // surface the regime this run is in (round-9 verdict): the probe is
-    // one aggregate over the already-cached ranking pass
-    val d = containmentDensityProbe(g, ranked)
-    println(s"[graft] containment density probe: $d tier=banded (forced — " +
-      s"use ngram_containment_auto for guarded tier selection)")
+    // one aggregate over the already-cached ranking pass. Opt-in since
+    // round 11 (SPARK_GRAFT_PROBE=1) — diagnostics, not plan input, and
+    // it inflated the benched forced row (see [[probeLogEnabled]]).
+    if (probeLogEnabled) {
+      val d = containmentDensityProbe(g, ranked)
+      println(s"[graft] containment density probe: $d tier=banded (forced — " +
+        s"use ngram_containment_auto for guarded tier selection)")
+    }
     containmentBandedFrom(g, ranked)
   }
 
