@@ -594,15 +594,42 @@ object Relational {
     * arithmetic as `q15_dist`, same oracle as `q15`/`q15_dist`
     * (`quantile_cont`). At 100 TB: three linear scans, two
     * bounded-volume shuffles, one broadcast — ~linear on fixed cores,
-    * which the sf10 row verifies. (A pathological distribution could
-    * pack a group into few buckets; recursing the refinement handles
-    * that in general — at one level the candidate-bucket sort is already
-    * ≤ max-bucket-occupancy, a 4096× reduction on anything non-adversarial.)
+    * which the sf10 row verifies.
+    *
+    * Pathological distributions (round-11 guard): a group packing its
+    * mass into FEW buckets defeats the 4096× occupancy reduction the
+    * final sliver sort relies on. After pass 2 a one-aggregate occupancy
+    * check over the (cached, ≤ groups × 6 row) candidate-bucket set
+    * dispatches: within bound → the normal sliver sort; over bound →
+    * ONE refinement level re-buckets the candidate buckets only (another
+    * 4096×, bounds derived arithmetically — no extra stats pass), where
+    * a rank landing in a single-VALUE sub-bucket resolves without any
+    * sort at all (the value at every rank inside is that value — the
+    * point-mass case no histogram can split). A rank still inside an
+    * over-occupancy multi-value sub-bucket after that (≥ maxOccupancy
+    * distinct-ish values packed in a 4096⁻²-of-range sliver) fails
+    * loudly naming `q15_approx`, the sketch tier built for it.
     */
   def q15ExactScalable(spark: SparkSession, sfDir: String): DataFrame = {
-    val nBuckets = 4096
-    def li = Tables.lineitem(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    exactPercentilesScalable(li, Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(round(max(when(col("nm") === "p50", col("v"))), 4).as("p50"),
+        round(max(when(col("nm") === "p90", col("v"))), 4).as("p90"),
+        round(max(when(col("nm") === "p99", col("v"))), 4).as("p99"))
+  }
+
+  /** Core of [[q15ExactScalable]] over any (g, x) frame: one (g, nm, v)
+    * row per group × requested percentile, exact interpolated values.
+    * Parametrized so the occupancy guard is testable with a small bound
+    * on crafted distributions ([[graft.Q15ScalableSpec]]); the default
+    * bound (10⁷ rows ≈ one comfortably-sorting task) is far above any
+    * sliver a 4096-bucket histogram leaves on real data.
+    */
+  private[graft] def exactPercentilesScalable(li: DataFrame,
+      ps: Seq[(String, Double)], nBuckets: Int = 4096,
+      maxOccupancy: Long = 10000000L): DataFrame = {
     val stats = li.groupBy(col("g"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n"))
       .transform(graft.CacheScope.barrier) // one row per group; 3 consumers
@@ -616,7 +643,6 @@ object Relational {
     val wCum = Window.partitionBy(col("g")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("cbelow", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-    val ps = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
     val targets = stats
       .select(col("g"), col("n"), explode(array(ps.map { case (nm, p) =>
         struct(lit(nm).as("nm"), lit(p).as("p")) }: _*)).as("t"))
@@ -635,26 +661,102 @@ object Relational {
         col("nd.g") === col("cm.g") && col("nd.k") >= col("cm.cbelow") &&
           col("nd.k") < col("cm.cbelow") + col("cm.cnt"))
       .select(col("nd.g").as("g"), col("nd.k").as("k"), col("cm.b").as("b"),
-        (col("nd.k") - col("cm.cbelow") + 1).as("local_rn"))
-      .transform(graft.CacheScope.barrier) // <= groups × 6 rows; 2 consumers
-    val wLocal = Window.partitionBy(col("g"), col("b")).orderBy(col("x"))
-    val atK = li.join(broadcast(stats), Seq("g"))
-      .withColumn("b", bucketCol)
-      .join(broadcast(kBucket.select(col("g"), col("b")).distinct()), Seq("g", "b"))
-      .withColumn("rn", row_number().over(wLocal).cast("long"))
-      .join(broadcast(kBucket), Seq("g", "b"))
-      .filter(col("rn") === col("local_rn"))
-      .select(col("g"), col("k"), col("x").as("v"))
-    val res = targets
+        (col("nd.k") - col("cm.cbelow") + 1).as("local_rn"), col("cm.cnt").as("cnt"))
+      .transform(graft.CacheScope.barrier) // <= groups × 6 rows; 3 consumers
+    // occupancy guard: one max over the cached candidate-bucket rows —
+    // the largest sliver the final sort would have to swallow
+    val occRow = kBucket.agg(max(col("cnt"))).head()
+    val maxOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    val atK =
+      if (maxOcc <= maxOccupancy) {
+        val wLocal = Window.partitionBy(col("g"), col("b")).orderBy(col("x"))
+        li.join(broadcast(stats), Seq("g"))
+          .withColumn("b", bucketCol)
+          .join(broadcast(kBucket.select(col("g"), col("b")).distinct()), Seq("g", "b"))
+          .withColumn("rn", row_number().over(wLocal).cast("long"))
+          .join(broadcast(kBucket.drop("cnt")), Seq("g", "b"))
+          .filter(col("rn") === col("local_rn"))
+          .select(col("g"), col("k"), col("x").as("v"))
+      } else refineCandidateBuckets(li, stats, bucketCol, kBucket, nBuckets,
+        maxOccupancy)
+    targets
       .join(atK.select(col("g"), col("k").as("k_lo"), col("v").as("v_lo")), Seq("g", "k_lo"))
       .join(atK.select(col("g"), col("k").as("k_hi"), col("v").as("v_hi")), Seq("g", "k_hi"))
       .withColumn("frac", col("idx") - floor(col("idx")))
-      .withColumn("v",
-        (lit(1.0) - col("frac")) * col("v_lo") + col("frac") * col("v_hi"))
-    res.groupBy(col("g").as("l_returnflag"))
-      .agg(round(max(when(col("nm") === "p50", col("v"))), 4).as("p50"),
-        round(max(when(col("nm") === "p90", col("v"))), 4).as("p90"),
-        round(max(when(col("nm") === "p99", col("v"))), 4).as("p99"))
+      .select(col("g"), col("nm"),
+        ((lit(1.0) - col("frac")) * col("v_lo") + col("frac") * col("v_hi")).as("v"))
+  }
+
+  /** One refinement level into the candidate buckets (the pathological
+    * branch of [[exactPercentilesScalable]]): re-buckets ONLY the
+    * ≤ groups × 6 buckets that hold target ranks into `nBuckets`
+    * sub-buckets — bounds derived arithmetically from the pass-1 stats
+    * (bucket b of group g spans [mn + b·w, mn + (b+1)·w), w =
+    * (mx−mn)/nBuckets), so no extra stats pass — and locates each
+    * target's bucket-local rank within the sub-bucket cumulative counts.
+    * A rank inside a single-value sub-bucket (min = max: the point-mass
+    * no histogram level can split) resolves directly to that value; a
+    * rank inside a multi-value sub-bucket still over the bound fails
+    * loudly naming the sketch tier. The sub-bucket map is clamped to
+    * [0, nBuckets) because lo is re-derived arithmetically (FP drift at
+    * the bucket edge must not produce b2 = −1); clamping keeps the map
+    * monotone in x, which is all rank location needs.
+    */
+  private def refineCandidateBuckets(li: DataFrame, stats: DataFrame,
+      bucketCol: Column, kBucket: DataFrame, nBuckets: Int,
+      maxOccupancy: Long): DataFrame = {
+    val cb = kBucket.select(col("g"), col("b")).distinct()
+    val rows2 = li.join(broadcast(stats), Seq("g"))
+      .withColumn("b", bucketCol)
+      .join(broadcast(cb), Seq("g", "b"))
+      .withColumn("w", (col("mx") - col("mn")) / nBuckets)
+      .withColumn("lo", col("mn") + col("b") * col("w"))
+      .withColumn("b2", when(col("w") === 0.0, lit(0)).otherwise(
+        greatest(lit(0), least(
+          floor((col("x") - col("lo")) / (col("w") / nBuckets)).cast("int"),
+          lit(nBuckets - 1)))))
+      .select(col("g"), col("b"), col("b2"), col("x"))
+    val hist2 = rows2.groupBy(col("g"), col("b"), col("b2"))
+      .agg(count(lit(1)).as("cnt2"), min(col("x")).as("mn2"), max(col("x")).as("mx2"))
+    val wCum2 = Window.partitionBy(col("g"), col("b")).orderBy(col("b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum2 = hist2.withColumn("cbelow2",
+      coalesce(sum(col("cnt2")).over(wCum2), lit(0L)))
+    // sub-bucket holding the bucket-local 0-based rank local_rn − 1
+    val k2 = kBucket.as("kb").join(broadcast(cum2.as("c2")),
+        col("kb.g") === col("c2.g") && col("kb.b") === col("c2.b") &&
+          col("kb.local_rn") - 1 >= col("c2.cbelow2") &&
+          col("kb.local_rn") - 1 < col("c2.cbelow2") + col("c2.cnt2"))
+      .select(col("kb.g").as("g"), col("kb.k").as("k"), col("kb.b").as("b"),
+        col("c2.b2").as("b2"),
+        (col("kb.local_rn") - col("c2.cbelow2")).as("local_rn2"),
+        col("c2.cnt2").as("cnt2"), col("c2.mn2").as("mn2"), col("c2.mx2").as("mx2"))
+      .transform(graft.CacheScope.barrier) // <= groups × 6 rows; 3 consumers
+    val stuck = k2.filter(col("cnt2") > maxOccupancy && col("mn2") =!= col("mx2"))
+      .select(col("g"), col("b"), col("b2"), col("cnt2")).collect()
+    if (stuck.nonEmpty) throw new IllegalStateException(
+      s"exact-percentile guard: after one refinement level a target rank " +
+        s"still sits in a multi-value sub-bucket of " +
+        s"${stuck.map(_.getLong(3)).max} > $maxOccupancy rows " +
+        s"(${stuck.length} stuck rank(s), e.g. group=${stuck.head.get(0)}): " +
+        s"the distribution packs that many distinct values into a " +
+        s"1/${nBuckets.toLong * nBuckets} sliver of the group's range, so " +
+        s"no equi-width histogram depth yields a sortable sliver. Use " +
+        s"q15_approx (approx_percentile — rank-sketch, " +
+        s"distribution-immune) for this data.")
+    val direct = k2.filter(col("mn2") === col("mx2"))
+      .select(col("g"), col("k"), col("mn2").as("v"))
+    val sortable = k2.filter(col("mn2") =!= col("mx2"))
+    val wL2 = Window.partitionBy(col("g"), col("b"), col("b2")).orderBy(col("x"))
+    val sorted = rows2
+      .join(broadcast(sortable.select(col("g"), col("b"), col("b2")).distinct()),
+        Seq("g", "b", "b2"))
+      .withColumn("rn", row_number().over(wL2).cast("long"))
+      .join(broadcast(sortable.select(col("g"), col("b"), col("b2"), col("k"),
+        col("local_rn2"))), Seq("g", "b", "b2"))
+      .filter(col("rn") === col("local_rn2"))
+      .select(col("g"), col("k"), col("x").as("v"))
+    direct.union(sorted)
   }
 
   val q15ExactScalableSql: String = q15PercentileSql
