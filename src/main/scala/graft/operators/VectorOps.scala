@@ -1050,32 +1050,93 @@ object VectorOps {
        |  JOIN n c ON c.vec_id = cq.n_id)
        |WHERE rank <= 5""".stripMargin
 
+  private val IvfParams = "cells=16|m=16|k=64|iters=2"
+
+  /** Content fingerprint of the embeddings corpus WITHOUT reading data:
+    * name + length + modification time of every file under
+    * `embeddings.parquet`, sorted. A corpus regenerated IN PLACE with
+    * the same row count (the r10 ADVICE hole: the count-only tag would
+    * serve it a stale index in oracle-less bench runs) changes mtimes
+    * and almost always lengths, forcing a new index dir. Driver-side FS
+    * listing only — cheaper than the count job the tag used before.
+    */
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
   /** Deterministic on-disk location of the persisted IVF-PQ index for a
-    * corpus. Keyed by the corpus path, its vector count, and the index
-    * hyper-params, so a regenerated corpus or a param change can never
-    * serve a stale index (production systems version indexes explicitly;
-    * the count is the cheap fingerprint available from parquet metadata).
-    * Base dir overridable via `SPARK_GRAFT_INDEX_DIR`.
+    * corpus. Keyed by the corpus path, a no-data-read content
+    * fingerprint of its files ([[corpusFingerprint]]), and the index
+    * hyper-params, so a regenerated-in-place corpus or a param change
+    * can never serve a stale index (production systems version indexes
+    * explicitly). Base dir overridable via `SPARK_GRAFT_INDEX_DIR`.
     */
   private[graft] def ivfIndexDir(spark: SparkSession, sfDir: String): String = {
-    val n = Tables.embeddings(spark, sfDir).count()
     val base = sys.props.get("graft.index.dir") // test isolation hook
       .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_index")
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|n=$n|cells=16|m=16|k=64|iters=2".getBytes("UTF-8"))
+      .digest(s"$sfDir|fp=${corpusFingerprint(spark, sfDir)}|$IvfParams"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     s"$base/ivfpq_$tag"
   }
 
   /** True iff the index at `dir` is complete (the codes table is written
-    * LAST in [[buildIvfIndex]], so its `_SUCCESS` marker implies the
-    * centroids and codebooks landed too). Hadoop FS API, not java.io —
-    * the index lives wherever the cluster's filesystem is.
+    * LAST among the parquet artifacts in [[buildIvfIndex]], and the
+    * whole build lands via one directory rename, so codes' `_SUCCESS`
+    * implies the centroids, codebooks, and manifest landed too). Hadoop
+    * FS API, not java.io — the index lives wherever the cluster's
+    * filesystem is.
     */
   private def ivfIndexExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/codes.parquet/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Verify a persisted index against its `manifest.json` before serving
+    * queries from it (round-11; r10 verdict #5): params, corpus
+    * fingerprint, and the row counts of the two broadcast-sized
+    * artifacts the query is about to trust. Hand-damage or truncation
+    * becomes a NAMED error instead of a downstream oracle mismatch.
+    * The codes table is deliberately not re-counted here — at scale it
+    * has one directory per cell and a count defeats the partition
+    * pruning the layout exists for; its integrity is covered by the
+    * `_SUCCESS`-last + atomic-rename build and its row count is recorded
+    * in the manifest at build time from a read-back.
+    */
+  private def verifyIvfManifest(spark: SparkSession, sfDir: String,
+                                dir: String): Unit = {
+    def fail(what: String): Nothing = throw new IllegalStateException(
+      s"ivf index guard: the index at $dir failed manifest verification " +
+        s"($what) — hand-damaged, truncated, or built by something else; " +
+        s"delete the directory to force a clean rebuild.")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fail("manifest.json missing")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val m = org.json4s.jackson.JsonMethods.parse(txt)
+    def str(f: String): String = (m \ f).extract[String]
+    def num(f: String): Long = (m \ f).extract[Long]
+    if (str("params") != IvfParams)
+      fail(s"params '${str("params")}' != expected '$IvfParams'")
+    if (str("corpus_fingerprint") != corpusFingerprint(spark, sfDir))
+      fail("corpus fingerprint mismatch — the corpus changed under the index")
+    val nCentroids = spark.read.parquet(s"$dir/centroids.parquet").count()
+    if (nCentroids != num("rows_centroids"))
+      fail(s"centroids.parquet has $nCentroids rows, manifest says " +
+        s"${num("rows_centroids")}")
+    val nCodebooks = spark.read.parquet(s"$dir/codebooks.parquet").count()
+    if (nCodebooks != num("rows_codebooks"))
+      fail(s"codebooks.parquet has $nCodebooks rows, manifest says " +
+        s"${num("rows_codebooks")}")
   }
 
   /** Index-BUILD pass of the persisted IVF-PQ index (round-9 verdict #4:
@@ -1100,14 +1161,15 @@ object VectorOps {
     */
   def embIvfBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ivfIndexDir(spark, sfDir)
-    buildIvfIndex(spark, sfDir, dir)
+    buildIvfIndex(spark, sfDir, dir, overwrite = true)
     spark.read.parquet(s"$dir/codes.parquet")
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(countDistinct(col("vec_id")).as("n_vectors"),
         sum(col("code")).cast("long").as("code_sum"))
   }
 
-  private def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String): Unit = {
+  private def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String,
+                            overwrite: Boolean = false): Unit = {
     CosineSimilarity.register(spark)
     graft.functions.L2Distance.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
@@ -1127,15 +1189,45 @@ object VectorOps {
       .transform(CacheScope.barrier) // written AND read by the encode pass
     val codes = pqAssignTo(sub, cent)
       .select(col("vec_id"), col("s"), col("c_id").as("code"))
-    piv.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    // Build into a temp sibling and RENAME into place (round-11; r10
+    // ADVICE): a reader can never observe a half-written index, and two
+    // processes racing the same miss resolve by whoever renames first.
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+    piv.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
     cent.select(col("s"), col("c_id"), col("cv"))
-      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
     // one file per inverted list (cells are the unit a probe reads);
-    // codes.parquet is written LAST — its _SUCCESS is the index marker
+    // codes.parquet is written LAST among the parquet artifacts — its
+    // _SUCCESS stays the completion marker [[ivfIndexExists]] checks
     codes.join(cellAssign, Seq("vec_id"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/codes.parquet")
+      .parquet(s"$tmp/codes.parquet")
+    // manifest written from READ-BACKS of the temp artifacts (proving
+    // each is loadable), then the atomic publish
+    val manifest =
+      s"""{"params": "$IvfParams",
+         | "corpus": "$sfDir",
+         | "corpus_fingerprint": "${corpusFingerprint(spark, sfDir)}",
+         | "n_vectors": ${e.count()},
+         | "rows_centroids": ${spark.read.parquet(s"$tmp/centroids.parquet").count()},
+         | "rows_codebooks": ${spark.read.parquet(s"$tmp/codebooks.parquet").count()},
+         | "rows_codes": ${spark.read.parquet(s"$tmp/codes.parquet").count()}}""".stripMargin
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    fs.mkdirs(dst.getParent)
+    if (overwrite && fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst)) {
+      // rename refused: a concurrent builder published first. Their
+      // complete index is as good as ours — drop the temp and use it.
+      fs.delete(tmp, true)
+      if (!ivfIndexExists(spark, dir)) throw new IllegalStateException(
+        s"ivf index build: could not publish $tmp to $dir and no complete " +
+          s"index is present — filesystem refused the rename.")
+    }
   }
 
   /** Query pass against the PERSISTED IVF-PQ index — the amortized
@@ -1158,6 +1250,7 @@ object VectorOps {
     graft.functions.L2Distance.register(spark)
     val dir = ivfIndexDir(spark, sfDir)
     if (!ivfIndexExists(spark, dir)) buildIvfIndex(spark, sfDir, dir)
+    verifyIvfManifest(spark, sfDir, dir)
     val piv = spark.read.parquet(s"$dir/centroids.parquet")
     val cent = spark.read.parquet(s"$dir/codebooks.parquet")
     val e = withVec(Tables.embeddings(spark, sfDir))

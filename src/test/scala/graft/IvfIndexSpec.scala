@@ -46,6 +46,41 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("a tampered index fails loudly by name, not by oracle mismatch") {
+    withIndexDir { _ =>
+      VectorOps.embIvfQuery(spark, sf).collect() // builds + verifies clean
+      spark.catalog.clearCache(); CacheScope.release()
+      val dir = VectorOps.ivfIndexDir(spark, sf)
+      val cb = new org.apache.hadoop.fs.Path(s"$dir/codebooks.parquet")
+      val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // truncate the codebooks artifact: drop one data file — the row
+      // count no longer matches the manifest's build-time read-back
+      val parts = fs.listStatus(cb).filter(_.getPath.getName.startsWith("part-"))
+      assert(parts.nonEmpty)
+      fs.delete(parts.head.getPath, false)
+      val e = intercept[IllegalStateException](
+        VectorOps.embIvfQuery(spark, sf).collect())
+      assert(e.getMessage.contains("manifest"))
+      assert(e.getMessage.contains("codebooks"))
+      spark.catalog.clearCache(); CacheScope.release()
+    }
+  }
+
+  test("a manifest-less index (half-written or foreign) is a named error") {
+    withIndexDir { _ =>
+      VectorOps.embIvfQuery(spark, sf).collect()
+      spark.catalog.clearCache(); CacheScope.release()
+      val mf = new org.apache.hadoop.fs.Path(
+        s"${VectorOps.ivfIndexDir(spark, sf)}/manifest.json")
+      val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(mf, false)
+      val e = intercept[IllegalStateException](
+        VectorOps.embIvfQuery(spark, sf).collect())
+      assert(e.getMessage.contains("manifest.json missing"))
+      spark.catalog.clearCache(); CacheScope.release()
+    }
+  }
+
   test("build stats cover every vector exactly once across cells") {
     withIndexDir { _ =>
       val stats = VectorOps.embIvfBuild(spark, sf).collect()
