@@ -155,6 +155,10 @@ object SparkEntry {
     // r10: candidate-mass-guarded tier dispatch (the jaccard mirror of
     // ngram_containment_auto) — same rows on either tier, same oracle
     "ngram_jaccard_auto" -> (DedupOps.ngramJaccardAuto _),
+    // r11: the open-vocabulary exact jaccard tier — the word-shingle
+    // twin of ngram_containment_shingles, low-threshold exact jaccard's
+    // measured-linear scale path
+    "ngram_jaccard_shingles" -> (DedupOps.ngramJaccardShingles _),
     "fuzzy_name_pairs" -> (DedupOps.fuzzyNamePairs _),
     "ngram_containment_pairs" -> (DedupOps.ngramContainmentPairs _),
     "ngram_containment_banded" -> (DedupOps.ngramContainmentBanded _),
@@ -394,6 +398,9 @@ object SparkEntry {
     // quadratic tier's result exactly (prefix filtering has recall 1.0)
     "ngram_jaccard_banded" -> DedupOps.ngramJaccardPairsSql,
     "ngram_jaccard_auto" -> DedupOps.ngramJaccardPairsSql,
+    // open-vocabulary (word-shingle) jaccard: banded plan checked
+    // against its own quadratic DuckDB twin
+    "ngram_jaccard_shingles" -> DedupOps.ngramJaccardShinglesSql,
     "fuzzy_name_pairs" -> DedupOps.fuzzyNamePairsSql,
     "ngram_containment_pairs" -> DedupOps.ngramContainmentPairsSql,
     // same oracle on purpose: the banded tier must reproduce the

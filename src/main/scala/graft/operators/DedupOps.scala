@@ -829,18 +829,24 @@ object DedupOps {
   /** Shared pre-candidate passes of the jaccard prefix-filter tier (the
     * [[containmentGramTables]] shape with the length-bucket block the
     * symmetric semantics allow): cached sorted gram table and the
-    * rarest-first per-doc ranking.
+    * rarest-first per-doc ranking. `gramSql` builds the raw gram-string
+    * array (`norm` for char n-grams, `t` for word shingles) — the
+    * char-4-gram and word-3-shingle tiers share every downstream pass.
+    * Docs with no grams (sz = 0: jaccard undefined, and they can never
+    * appear in a posting) are dropped up front.
     */
-  private def jaccardGramTables(spark: SparkSession,
-                                sfDir: String): (DataFrame, DataFrame) = {
+  private def jaccardGramTables(spark: SparkSession, sfDir: String,
+      gramSql: String = charGramsSql("norm", 4)): (DataFrame, DataFrame) = {
     JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
+      .withColumn("t", split(col("norm"), " "))
       .withColumn("lenb", expr("n_chars div 100"))
       .select(col("doc_id"), col("lang"), col("lenb"),
         sort_array(array_distinct(
-          expr(s"transform(${charGramsSql("norm", 4)}, s -> ${h32Sql("s")})"))).as("gr"))
+          expr(s"transform($gramSql, s -> ${h32Sql("s")})"))).as("gr"))
       .withColumn("sz", size(col("gr")))
+      .filter(col("sz") > 0)
       .transform(CacheScope.barrier) // postings, ranking, and confirm all reuse
     val posting = g.select(col("doc_id"), col("lang"), col("lenb"), col("sz"),
       explode(col("gr")).as("gh"))
@@ -993,9 +999,12 @@ object DedupOps {
         s"rows on ${m.nDocs} docs ($m): at threshold 0.4 the probe prefix " +
         s"spans 60% of each document's grams, so mid-frequency grams make " +
         s"the candidate join's output super-linear and no exact " +
-        s"sub-quadratic plan exists. Use the minhash-LSH tier " +
-        s"(approximate; collision rate tracks similarity, not gram " +
-        s"frequency) or raise the jaccard threshold to shrink the prefix.")
+        s"sub-quadratic CHAR-GRAM plan exists. Use the word-shingle tier " +
+        s"(ngram_jaccard_shingles — open vocabulary, near-singleton " +
+        s"postings keep the same prefix's candidate mass ~linear, exact), " +
+        s"the minhash-LSH tier (approximate; collision rate tracks " +
+        s"similarity, not gram frequency), or raise the jaccard threshold " +
+        s"to shrink the prefix.")
 
   /** All three ngram-family guard probes for a corpus, for
     * [[graft.NgramProbe]]: (name, probe-string) per gram source. Runs
@@ -1312,6 +1321,20 @@ object DedupOps {
       if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
+  /** Test hook ([[graft.ContainmentGuardSpec]], [[graft.PlanSpec]]): the
+    * density probe [[ngramContainmentAuto]] dispatches on, computed
+    * standalone for a corpus — lets specs assert the DISPATCH DECISION
+    * (probe → [[containmentTier]]) and derive the expected plan shape
+    * from it, instead of hardcoding a tier for a corpus whose density
+    * sits near the bound (sf0.001 measures ~0.021 vs the 0.02 bound —
+    * a data nudge must fail no spec).
+    */
+  private[graft] def containmentProbe2(spark: SparkSession,
+                                       sfDir: String): ContainmentDensity = {
+    val (g, ranked) = containmentGramTables(spark, sfDir)
+    containmentDensityProbe(g, ranked)
+  }
+
   /** Tier decision from the probe — pure, unit-tested
     * ([[graft.ContainmentGuardSpec]]).
     *
@@ -1404,6 +1427,47 @@ object DedupOps {
     val (g, ranked) = containmentGramTables(spark, sfDir, shingles3Sql("t"))
     containmentBandedFrom(g, ranked)
   }
+
+  /** Jaccard over word 3-shingles — the OPEN-VOCABULARY exact jaccard
+    * tier, and the symmetric twin of [[ngramContainmentShingles]] (same
+    * rationale, same shared banded plan via [[jaccardGramTables]]'s gram
+    * parameter). The char-4-gram tier's low-threshold wall is candidate
+    * MASS: at t = 0.4 the prefix spans 60% of each gram set, and in a
+    * FINITE gram space mid-frequency grams make Σ prefix×posting ~n² on
+    * any corpus (r10 probe: 1.38e8 → 9.58e9 rows on 9× docs; the
+    * jaccardTier guard's only escape hatches were approximate minhash or
+    * a higher threshold). Word 3-shingles draw from the vocabulary's
+    * CUBE: shingle space grows with the corpus (Heaps), tail shingles
+    * stay near-singletons, so the SAME 60% prefix carries near-singleton
+    * posting lists and candidate mass stays ~linear — low-threshold
+    * exact jaccard gets a measured scale path instead of only an
+    * approximate one. Semantics: J ≥ 0.4 on distinct-shingle sets with
+    * the (lang × length-bucket) block, docs with < 3 tokens excluded
+    * (no shingles → jaccard undefined); quadratic DuckDB twin
+    * [[ngramJaccardShinglesSql]].
+    */
+  def ngramJaccardShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, ranked) = jaccardGramTables(spark, sfDir, shingles3Sql("t"))
+    jaccardBandedFrom(g, ranked)
+  }
+
+  val ngramJaccardShinglesSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang, lenb,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+      |      s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS gr
+      |  FROM (SELECT doc_id, lang, n_chars // 100 AS lenb,
+      |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |        FROM documents))
+      |SELECT a_id, b_id, round(jacc, 4) AS jacc FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.gr, b.gr))::DOUBLE /
+      |      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jacc
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+      |  WHERE len(a.gr) > 0 AND len(b.gr) > 0)
+      |WHERE jacc >= 0.4""".stripMargin
 
   val ngramContainmentShinglesSql: String =
     """WITH g AS (
