@@ -30,7 +30,7 @@ class ContainmentGuardSpec extends SparkSpec {
 
   test("tier decision: saturation regime (sparse density, over-mass) is guarded too") {
     // the round-10 Zipf measurement: density ~2e-4 (reads sparse) but
-    // meanPrefixDf grew 11.7 -> 33.2 on 3x docs — finite char-4-gram
+    // meanPrefixDf grew 12.3 -> 35.2 on 3x docs — finite char-4-gram
     // space saturating, candidate mass super-linear with no density
     // signal. Bounded corpus -> bitmap; at scale -> loud, naming the
     // open-vocabulary shingle tier.
@@ -39,6 +39,30 @@ class ContainmentGuardSpec extends SparkSpec {
       containmentTier(ContainmentDensity(10000000L, 500.0, 1e12)))
     assert(e.getMessage.contains("ngram_containment_shingles"))
     assert(e.getMessage.contains("saturated"))
+  }
+
+  test("the dispatcher follows the probe's decision — plan shape derived, not hardcoded") {
+    // The sf0.001 corpus sits essentially ON the density bound (~0.021
+    // vs 0.02), so asserting "bitmap" (or "banded") for it would break
+    // on a data nudge while the dispatcher stays correct. Instead:
+    // compute the probe, take the PURE decision, and assert the executed
+    // plan matches THAT decision — the spec pins dispatch, not data.
+    val sf = "/root/testdata/sf0.001"
+    val d = DedupOps.containmentProbe2(spark, sf)
+    val tier = containmentTier(d)
+    assert(tier == "bitmap" || tier == "banded", s"unexpected tier $tier for $d")
+    val plan = DedupOps.ngramContainmentAuto(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bitmap comparator's signature: the 1-row bitmap-width scalar
+    // broadcast (a BroadcastNestedLoopJoin); the banded tier is pure
+    // hash equijoins
+    if (tier == "bitmap")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"probe decided bitmap ($d) but the plan has no width broadcast")
+    else
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"probe decided banded ($d) but the plan has a nested-loop join")
+    spark.catalog.clearCache()
   }
 
   test("driver corpus (sf0.001): auto matches the quadratic tier") {

@@ -197,11 +197,6 @@ class PlanSpec extends SparkSpec {
     val nestedLoopOk = Set("emb_knn", "emb_ivf_knn", "doc_boilerplate", "emb_kmeans",
       "emb_ivf_trained", "emb_semdedup", "emb_center", "doc_tfidf_top", "q20_approx",
       "ngram_containment_pairs", "emb_recall", // composes emb_knn + emb_ivf_trained
-      // the guarded dispatcher picks the bitmap tier on this corpus (the
-      // r10 slack-8 probe reads the sf0.001 density at 0.021, just over
-      // the 0.02 bound) — the 1-row bitmap-width broadcast is the same
-      // wanted plan as ngram_containment_pairs above
-      "ngram_containment_auto",
       "dedup_ensemble_clusters", // composes embSemdedup's pivot broadcast
       "emb_sq8_knn", // query-side broadcast vs codes + 1-row dim-stats broadcast
       "dedup_lsh_recall", // two 1-row count aggregates crossed into the scalar row
@@ -225,7 +220,15 @@ class PlanSpec extends SparkSpec {
       "ev_rfm", // 1-row (gmax, n_users) scalar attach, like doc_tfidf_top
       "ev_wau", // 1-row day-bounds scalar attach, same pattern
       "doc_pmi_top", // two 1-row total broadcasts (T tokens, P pairs), doc_dsir pattern
-      "ev_survival") // 1-row (observation end, n_users) scalar attach, ev_rfm pattern
+      "ev_survival") ++ // 1-row (observation end, n_users) scalar attach, ev_rfm pattern
+      // ngram_containment_auto's expected shape FOLLOWS its dispatch
+      // decision (the sf0.001 density ~0.021 sits on the 0.02 bound, so
+      // hardcoding a tier would flip on a data nudge — r10 verdict): the
+      // bitmap tier carries the wanted 1-row width broadcast like
+      // ngram_containment_pairs; the banded tier must stay equijoin-only
+      (if (graft.operators.DedupOps.containmentTier(
+          graft.operators.DedupOps.containmentProbe2(spark, sf)) == "bitmap")
+        Set("ngram_containment_auto") else Set.empty[String])
     SparkEntry.queries.keys.foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
