@@ -1006,15 +1006,19 @@ object DedupOps {
         s"similarity, not gram frequency), or raise the jaccard threshold " +
         s"to shrink the prefix.")
 
-  /** All three ngram-family guard probes for a corpus, for
-    * [[graft.NgramProbe]]: (name, probe-string) per gram source. Runs
-    * the gram + ranking passes only — the linear part of each banded
-    * plan — never a candidate join.
+  /** All four ngram-family guard probes for a corpus, for
+    * [[graft.NgramProbe]]: (name, probe-string) per (semantics, gram
+    * source) pair. Runs the gram + ranking passes only — the linear
+    * part of each banded plan — never a candidate join.
     */
   private[graft] def ngramProbes(spark: SparkSession,
                                  sfDir: String): Seq[(String, String)] = {
     val (jg, jranked) = jaccardGramTables(spark, sfDir)
     val jm = jaccardMassProbe(jg, jranked)
+    spark.catalog.clearCache(); CacheScope.release()
+    val (jsg, jsranked) = jaccardGramTables(spark, sfDir,
+      graft.functions.TextFns.shingles3Sql("t"))
+    val jsm = jaccardMassProbe(jsg, jsranked)
     spark.catalog.clearCache(); CacheScope.release()
     val (cg, cranked) = containmentGramTables(spark, sfDir)
     val cd = containmentDensityProbe(cg, cranked)
@@ -1024,6 +1028,7 @@ object DedupOps {
     val sd = containmentDensityProbe(sg, sranked)
     spark.catalog.clearCache(); CacheScope.release()
     Seq("jaccard_char4" -> jm.toString,
+      "jaccard_shingle3" -> jsm.toString,
       "containment_char4" -> cd.toString,
       "containment_shingle3" -> sd.toString)
   }
