@@ -26,8 +26,15 @@ object NgramProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val probes = operators.DedupOps.ngramProbes(spark, dir)
-    probes.foreach { case (name, s) => println(s"[ngramprobe] $dir $name $s") }
+    if (args.length > 1 && args(1) == "collapse") {
+      // round-11 PPJoin+ A/B companion: verify-input sizes of the r10
+      // and r11 jaccard banded compositions (box-independent counts)
+      val s = operators.DedupOps.jaccardCollapseProbe(spark, dir)
+      println(s"[ngramprobe] $dir jaccard_collapse $s")
+    } else {
+      val probes = operators.DedupOps.ngramProbes(spark, dir)
+      probes.foreach { case (name, s) => println(s"[ngramprobe] $dir $name $s") }
+    }
     spark.stop()
   }
 }

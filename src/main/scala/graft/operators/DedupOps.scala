@@ -970,6 +970,57 @@ object DedupOps {
     JaccardMassCheck(m.candRows, bare)
   }
 
+  /** Round-11 measurement hook ([[graft.NgramProbe]] `collapse` mode):
+    * the deterministic half of the PPJoin+ before/after evidence for
+    * [[jaccardBandedFrom]]. Computes, on one corpus, the VERIFY-JOIN
+    * INPUT SIZE of both compositions — the number the wall-clock A/B
+    * rides on, box-independent:
+    *
+    *   - `before`: the r10 composition's verify input — distinct
+    *     (a, b) pairs from the slack-2 prefix whose equijoin has ≥ 1
+    *     row passing the per-row positional bound (the old plan
+    *     verified every such pair with two gram-array-carrying joins);
+    *   - `after`: pairs surviving the r11 pair-level filter — EXISTS
+    *     positional AND ≥ min(K, min_sz − ⌊3·min_sz/5⌋) prefix matches
+    *     from the slack-8 prefix;
+    *   - `candRows2` / `candRows8`: the narrow equijoin row counts at
+    *     the two prefix widths — the cost the +6 slack ADDS, shown next
+    *     to the verify rows it removes.
+    */
+  private[graft] def jaccardCollapseProbe(spark: SparkSession,
+                                          sfDir: String): String = {
+    val (_, ranked) = jaccardGramTables(spark, sfDir)
+    def pairAgg(slack: Int) = {
+      val probe = ranked.filter(
+        col("rk") <= expr("(3 * sz) div 5") + lit(slack))
+      probe.as("p").join(ranked.as("q"),
+          col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
+            col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id"))
+        .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+          greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+          least(col("p.sz"), col("q.sz")).as("row_min_sz"),
+          (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+            lit(0.4 / 1.4) * (col("p.sz") + col("q.sz")) - lit(1))
+            .cast("int").as("pos_ok"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
+          min(col("row_min_sz")).as("min_sz"))
+    }
+    val a2 = pairAgg(2).transform(CacheScope.barrier)
+    val before = a2.filter(col("pos_ok") === 1).count()
+    val candRows2 = a2.agg(sum(col("matches"))).head().getLong(0)
+    spark.catalog.clearCache(); CacheScope.release()
+    val a8 = pairAgg(JaccardPrefixSlack).transform(CacheScope.barrier)
+    val after = a8.filter(col("pos_ok") === 1 && col("matches") >=
+      least(lit(JaccardPrefixSlack),
+        col("min_sz") - expr("(3 * min_sz) div 5"))).count()
+    val candRows8 = a8.agg(sum(col("matches"))).head().getLong(0)
+    spark.catalog.clearCache(); CacheScope.release()
+    f"verifyPairsBefore=$before verifyPairsAfter=$after " +
+      f"collapse=${before.toDouble / math.max(after, 1L)}%.1fx " +
+      f"candRowsSlack2=$candRows2 candRowsSlack8=$candRows8"
+  }
+
   /** Tier decision from the mass probe — pure, unit-tested
     * ([[graft.JaccardGuardSpec]]).
     *
