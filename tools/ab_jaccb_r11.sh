@@ -12,7 +12,10 @@
 #
 # Usage: tools/ab_jaccb_r11.sh <beforeClasses> <afterClasses> <corpusDir> <outJsonl> [n]
 set -euo pipefail
-BEFORE="$1"; AFTER="$2"; DIR="$3"; OUT="$4"; N="${5:-3}"
+BEFORE="$1"; AFTER="$2"; DIR="$3"; N="${5:-3}"
+# resolve OUT before the cd below — a relative path would land inside
+# the mktemp dir and be deleted by the EXIT trap (r11 ADVICE)
+OUT=$(realpath -m "$4")
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
 cd "$TMP"
@@ -37,12 +40,15 @@ print(json.dumps(d))" >> "$OUT"
   done
 done
 python3 - "$OUT" <<'EOF'
-import json, sys
+import json, statistics, sys
 arms = {}
 for line in open(sys.argv[1]):
     d = json.loads(line)
     arms.setdefault(d["arm"], []).append(d["queries"]["ngram_jaccard_banded"])
+missing = [a for a in ("before", "after") if not arms.get(a)]
+assert not missing, f"arm(s) with zero successful samples: {missing}"
 for arm, ss in sorted(arms.items()):
     ss = sorted(ss)
-    print(f"[ab_jaccb] {arm}: samples={[round(s,1) for s in ss]} median={ss[len(ss)//2]:.1f}")
+    print(f"[ab_jaccb] {arm}: samples={[round(s,1) for s in ss]} "
+          f"median={statistics.median(ss):.1f}")
 EOF
