@@ -50,6 +50,7 @@ object Bench {
   // round 5's sf1 total was 2/3 quadratic-twin time.
   private val quadraticTwins = Set(
     "ngram_containment_pairs", "ngram_jaccard_pairs", "simhash_neardup",
+    "ngram_jaccard_shingles_pairs", "ngram_containment_shingles_pairs",
     // the guarded dispatchers: on the dense synthetic corpus their
     // probes select the quadratic comparator, so sweeping them would
     // re-measure it; both dispatch targets are already separate rows

@@ -159,11 +159,15 @@ object SparkEntry {
     // twin of ngram_containment_shingles, low-threshold exact jaccard's
     // measured-linear scale path
     "ngram_jaccard_shingles" -> (DedupOps.ngramJaccardShingles _),
+    // r12: in-engine quadratic twins of the two shingle scale tiers —
+    // TwinCheck's equality partners at SFs the unit suites don't reach
+    "ngram_jaccard_shingles_pairs" -> (DedupOps.ngramJaccardShinglesPairs _),
     "fuzzy_name_pairs" -> (DedupOps.fuzzyNamePairs _),
     "ngram_containment_pairs" -> (DedupOps.ngramContainmentPairs _),
     "ngram_containment_banded" -> (DedupOps.ngramContainmentBanded _),
     "ngram_containment_auto" -> (DedupOps.ngramContainmentAuto _),
     "ngram_containment_shingles" -> (DedupOps.ngramContainmentShingles _),
+    "ngram_containment_shingles_pairs" -> (DedupOps.ngramContainmentShinglesPairs _),
     "dedup_ensemble_clusters" -> (DedupOps.dedupEnsembleClusters _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "winnow_fp" -> (DedupOps.winnowFingerprints _),
@@ -401,6 +405,8 @@ object SparkEntry {
     // open-vocabulary (word-shingle) jaccard: banded plan checked
     // against its own quadratic DuckDB twin
     "ngram_jaccard_shingles" -> DedupOps.ngramJaccardShinglesSql,
+    // the quadratic twin shares the scale tier's oracle by construction
+    "ngram_jaccard_shingles_pairs" -> DedupOps.ngramJaccardShinglesSql,
     "fuzzy_name_pairs" -> DedupOps.fuzzyNamePairsSql,
     "ngram_containment_pairs" -> DedupOps.ngramContainmentPairsSql,
     // same oracle on purpose: the banded tier must reproduce the
@@ -412,6 +418,7 @@ object SparkEntry {
     // open-vocabulary (word-shingle) containment: banded plan checked
     // against its own quadratic DuckDB twin
     "ngram_containment_shingles" -> DedupOps.ngramContainmentShinglesSql,
+    "ngram_containment_shingles_pairs" -> DedupOps.ngramContainmentShinglesSql,
     "dedup_ensemble_clusters" -> DedupOps.dedupEnsembleClustersSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "winnow_fp" -> DedupOps.winnowFingerprintsSql,

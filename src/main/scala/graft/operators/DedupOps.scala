@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{CacheScope, Tables}
@@ -777,23 +777,13 @@ object DedupOps {
     * viable at corpus scale rather than only inside small blocks — the
     * MinHash family stays the approximate path, this is the exact one.
     *
-    * Recall guarantee (t = 0.4): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A| (union ≥
-    * |A|), so at most ⌊0.6·|A|⌋ of A's grams are missing from B and any
-    * ⌊3|A|/5⌋+K of them — in particular the rarest by within-language df
-    * — include ≥ min(K, |A|−⌊3|A|/5⌋) shared with B (K =
-    * [[JaccardPrefixSlack]]). Probing both directions (p↔q roles swap
-    * across the self-join) gives recall 1.0 by construction; the confirm
+    * Recall 1.0 and the PPJoin positional + PPJoin+ match-count
+    * candidate thinning: derivations at [[BandedSpine]], the shared
+    * spine both the jaccard and containment families run on since
+    * round 12 (jaccard instantiation [[jaccardSpine]]); the confirm
     * runs the same codegen'd `jaccard_sorted` merge on the same hashed
     * gram sets, so the emitted rows hash-match the quadratic tier
     * exactly.
-    *
-    * Candidates are thinned by the PPJoin positional filter (pair-level
-    * EXISTS over min(|P|−rkP, |Q|−rkQ)+1 ≥ t/(1+t)·(|P|+|Q|); the −1
-    * slack absorbs FP edges) AND the PPJoin+ match-count filter (round
-    * 11, ported from [[containmentBandedFrom]]'s measured win): the
-    * candidate equijoin output stays narrow and only multi-match
-    * survivors reach the array-carrying verify join — derivations at
-    * [[jaccardBandedFrom]].
     *
     * 100 TB shape: df and ranking are (lang, gh)- and doc-keyed shuffles
     * of slim rows; the candidate join is keyed on (lang, lenb, gh) with
@@ -859,66 +849,122 @@ object DedupOps {
     (g, ranked)
   }
 
-  /** Jaccard prefix slack K (the [[PrefixSlack]] companion, ported round
-    * 11): the probe prefix is the ⌊3·sz/5⌋+K rarest grams and a pair
-    * must collect ≥ min(K, min_sz − ⌊3·min_sz/5⌋) prefix matches before
-    * the array-carrying verify join sees it. Recall stays exactly 1.0:
-    * J(P,Q) ≥ 0.4 ⟹ |P∩Q| ≥ 0.4·|P∪Q| ≥ 0.4·|P|, so the direction
-    * probing from the smaller side (size min_sz; BOTH directions of a
-    * symmetric-J pair probe) misses ≤ ⌊3·min_sz/5⌋ of its grams from
-    * the other set, and its min(⌊3·min_sz/5⌋+K, min_sz)-gram prefix
-    * therefore holds ≥ min(K, min_sz − ⌊3·min_sz/5⌋) shared grams.
-    * K = 2 is the recall minimum (one guaranteed match needs +1); K = 8
-    * mirrors containment's measured trade — +6 narrow prefix rows per
-    * doc buys a multi-match requirement that collapses the verify set,
-    * whose rows each carry two ~600-element gram arrays.
+  /** The shared PPJoin+ banded spine (round 12, factored from the
+    * jaccard/containment twins it unifies): narrow candidate equijoin →
+    * per-pair aggregate → EXISTS-positional + match-count filter. Only
+    * the tiny survivor set ever reaches a family's array-carrying
+    * verify join. Parameters encode each family's arithmetic; every
+    * expression tree is identical to the pre-factor per-family forms
+    * (plan-compared on all four banded queries), so the r10/r11
+    * measured evidence carries over unchanged.
+    *
+    * The spine's recall-1.0 argument, common to both families with
+    * family constants injected — let m(sz) = `missFloor`(sz) be the
+    * most grams a qualifying direction can miss and the probe prefix
+    * each doc's m(sz)+K rarest grams (K = `slack`, rarest by
+    * within-language df — the COMMON order both filters depend on):
+    *
+    *   - '''Prefix''': a qualifying direction misses ≤ m of its grams
+    *     from the other set, so its m+K-gram prefix shares ≥ min(K,
+    *     sz−m) grams with it — the candidate equijoin (keyed on lang ×
+    *     `extraKeys` × gh, self-pairs excluded) emits every qualifying
+    *     pair at least once. Jaccard instantiation: J(P,Q) ≥ 0.4 ⟹
+    *     |P∩Q| ≥ 0.4·|P∪Q| ≥ 0.4·|P|, so m = ⌊3·sz/5⌋ and BOTH
+    *     directions of a symmetric-J pair qualify. Containment
+    *     instantiation: the direction with |P∩Q|/|P| ≥ 0.8 (minus the
+    *     round-to-4 slop) misses ≤ m = ⌊0.20005·sz⌋.
+    *   - '''Positional (PPJoin), per ROW''': the common rarest-first
+    *     order makes every gram before the pair's FIRST shared gram
+    *     unshared on BOTH sides, so a match at ranks (rkP, rkQ) bounds
+    *     |P∩Q| ≤ min(|P|−rkP, |Q|−rkQ) + 1, which must reach
+    *     `pairLowerBound`(|P|, |Q|) (jaccard: (0.4/1.4)·(|P|+|Q|);
+    *     containment: 0.79995·|P|; the −1 absorbs FP edges). A
+    *     qualifying pair's FIRST prefix match always passes, so the
+    *     pair-level condition is EXISTS(row passing), not ALL — deeper
+    *     matches of a true pair legitimately fail the per-row bound
+    *     and must still count toward the match total.
+    *   - '''Count (PPJoin+)''': the qualifying direction alone
+    *     contributes ≥ min(K, min_sz − m(min_sz)) distinct prefix
+    *     matches; cross-direction double counts only ADD, so
+    *     ≥-filtering is safe. K = 2 preserves recall (one guaranteed
+    *     match needs +1); K = 8 is the measured trade (r10 containment,
+    *     r11 jaccard A/B 2.07×): +6 narrow prefix rows per doc buy a
+    *     multi-match requirement that collapses the verify set, whose
+    *     rows each carry two ~600-element gram arrays.
+    *
+    * Floors take the target column's NAME (applied to `sz` in the
+    * probe, `min_sz` in the count threshold) so each family keeps its
+    * exact integer-vs-FP floor form.
+    */
+  private final case class BandedSpine(
+      slack: Int,
+      prefixFloor: String => Column,
+      missFloor: String => Column,
+      extraKeys: Seq[String],
+      pairLowerBound: (Column, Column) => Column) {
+
+    /** Membership in the ⌊missFloor(sz)⌋+slack rarest-gram probe prefix
+      * — also the mass probes' counting predicate.
+      */
+    def prefixCond(slackOverride: Int = slack): Column =
+      col("rk") <= prefixFloor("sz") + lit(slackOverride)
+
+    /** Narrow candidate equijoin → per-pair aggregate: (a_id, b_id,
+      * matches, pos_ok, min_sz). The equijoin output stays NARROW (ids
+      * + sizes + a per-row positional flag, no gram arrays) and this
+      * aggregate is the only thing touching all candidate rows.
+      */
+    def pairAgg(ranked: DataFrame, slackOverride: Int = slack): DataFrame = {
+      val keyCond = ("lang" +: extraKeys)
+        .map(k => col(s"p.$k") === col(s"q.$k")).reduce(_ && _)
+      ranked.filter(prefixCond(slackOverride)).as("p").join(ranked.as("q"),
+          keyCond && col("p.gh") === col("q.gh") &&
+            col("p.doc_id") =!= col("q.doc_id"))
+        .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+          greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+          least(col("p.sz"), col("q.sz")).as("row_min_sz"),
+          (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+            pairLowerBound(col("p.sz"), col("q.sz")) - lit(1))
+            .cast("int").as("pos_ok"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
+          min(col("row_min_sz")).as("min_sz"))
+    }
+
+    /** The pair-level EXISTS-positional + match-count filter. */
+    def survivorFilter: Column =
+      col("pos_ok") === 1 && col("matches") >=
+        least(lit(slack), col("min_sz") - missFloor("min_sz"))
+
+    /** Candidate (a_id, b_id) pairs for the family's verify join. */
+    def survivors(ranked: DataFrame): DataFrame =
+      pairAgg(ranked).filter(survivorFilter)
+        .select(col("a_id"), col("b_id"))
+  }
+
+  /** Jaccard prefix slack K = 8 (ported round 11, the [[PrefixSlack]]
+    * companion) — recall and trade derivations on [[BandedSpine]].
     */
   private val JaccardPrefixSlack = 8
 
-  private def jaccardBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame = {
-    val probe = ranked.filter(
-      col("rk") <= expr("(3 * sz) div 5") + lit(JaccardPrefixSlack))
-    // The equijoin output stays NARROW (ids + sizes + a per-row
-    // positional flag, no gram arrays) and the per-pair aggregate below
-    // is the only thing touching all candidate rows — the PPJoin+
-    // composition ported from [[containmentBandedFrom]]. Two pair
-    // filters compose, each individually recall-1.0:
-    //
-    //   - Positional (PPJoin), per ROW: the common rarest-first order
-    //     makes every gram before the pair's FIRST shared gram unshared
-    //     on BOTH sides, so that first match at ranks (rkP, rkQ) bounds
-    //     |P∩Q| ≤ min(|P|−rkP, |Q|−rkQ) + 1, and J ≥ 0.4 needs
-    //     |P∩Q| ≥ (0.4/1.4)·(|P|+|Q|). The first prefix match of a
-    //     qualifying pair always passes (−1 absorbs FP edges), so the
-    //     pair-level condition is EXISTS(row passing), not ALL — deeper
-    //     matches of a true pair legitimately fail the per-row bound
-    //     and must still count toward the match total.
-    //   - Count (PPJoin+): ≥ min(K, min_sz − ⌊3·min_sz/5⌋) distinct
-    //     prefix matches from the smaller side's direction alone (see
-    //     [[JaccardPrefixSlack]]); cross-direction double counts only
-    //     ADD, so ≥-filtering is safe.
-    val cand = probe.as("p").join(ranked.as("q"),
-        col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
-          col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id"))
-      .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
-        least(col("p.sz"), col("q.sz")).as("row_min_sz"),
-        (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
-          lit(0.4 / 1.4) * (col("p.sz") + col("q.sz")) - lit(1))
-          .cast("int").as("pos_ok"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
-        min(col("row_min_sz")).as("min_sz"))
-      .filter(col("pos_ok") === 1 && col("matches") >=
-        least(lit(JaccardPrefixSlack), col("min_sz") - expr("(3 * min_sz) div 5")))
-      .select(col("a_id"), col("b_id"))
-    cand
+  /** Jaccard instantiation of [[BandedSpine]] (t = 0.4; slack ported
+    * round 11 — derivations on the spine): symmetric semantics allow
+    * the extra (length-bucket) blocking key.
+    */
+  private val jaccardSpine = BandedSpine(
+    slack = JaccardPrefixSlack,
+    prefixFloor = n => expr(s"(3 * $n) div 5"),
+    missFloor = n => expr(s"(3 * $n) div 5"),
+    extraKeys = Seq("lenb"),
+    pairLowerBound = (szP, szQ) => lit(0.4 / 1.4) * (szP + szQ))
+
+  private def jaccardBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame =
+    jaccardSpine.survivors(ranked)
       .join(g.select(col("doc_id").as("a_id"), col("gr").as("ga")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("gr").as("gb")), Seq("b_id"))
       .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
       .filter(col("jacc") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
-  }
 
   private[graft] final case class JaccardCandidateMass(nDocs: Long,
                                                        candRows: Double) {
@@ -944,7 +990,7 @@ object DedupOps {
                                       ranked: DataFrame): JaccardCandidateMass = {
     val byKey = ranked.groupBy(col("lang"), col("lenb"), col("gh"))
       .agg(count(lit(1)).cast("double").as("ic"),
-        sum(when(col("rk") <= expr("(3 * sz) div 5") + lit(JaccardPrefixSlack), 1L)
+        sum(when(jaccardSpine.prefixCond(), 1L)
           .otherwise(0L)).cast("double").as("pc"))
     val r = byKey.agg(sum(col("pc") * col("ic"))).head()
     JaccardCandidateMass(g.count(), if (r.isNullAt(0)) 0.0 else r.getDouble(0))
@@ -962,8 +1008,7 @@ object DedupOps {
                                        sfDir: String): JaccardMassCheck = {
     val (g, ranked) = jaccardGramTables(spark, sfDir)
     val m = jaccardMassProbe(g, ranked)
-    val probe = ranked.filter(
-      col("rk") <= expr("(3 * sz) div 5") + lit(JaccardPrefixSlack))
+    val probe = ranked.filter(jaccardSpine.prefixCond())
     val bare = probe.as("p").join(ranked.as("q"),
       col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
         col("p.gh") === col("q.gh")).count()
@@ -990,30 +1035,15 @@ object DedupOps {
   private[graft] def jaccardCollapseProbe(spark: SparkSession,
                                           sfDir: String): String = {
     val (_, ranked) = jaccardGramTables(spark, sfDir)
-    def pairAgg(slack: Int) = {
-      val probe = ranked.filter(
-        col("rk") <= expr("(3 * sz) div 5") + lit(slack))
-      probe.as("p").join(ranked.as("q"),
-          col("p.lang") === col("q.lang") && col("p.lenb") === col("q.lenb") &&
-            col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id"))
-        .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
-          greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
-          least(col("p.sz"), col("q.sz")).as("row_min_sz"),
-          (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
-            lit(0.4 / 1.4) * (col("p.sz") + col("q.sz")) - lit(1))
-            .cast("int").as("pos_ok"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
-          min(col("row_min_sz")).as("min_sz"))
-    }
-    val a2 = pairAgg(2).transform(CacheScope.barrier)
+    // both arms ride the LIVE spine (r11 ADVICE: a re-implemented copy
+    // here would silently drift from the plan it claims to measure)
+    val a2 = jaccardSpine.pairAgg(ranked, slackOverride = 2)
+      .transform(CacheScope.barrier)
     val before = a2.filter(col("pos_ok") === 1).count()
     val candRows2 = a2.agg(sum(col("matches"))).head().getLong(0)
     spark.catalog.clearCache(); CacheScope.release()
-    val a8 = pairAgg(JaccardPrefixSlack).transform(CacheScope.barrier)
-    val after = a8.filter(col("pos_ok") === 1 && col("matches") >=
-      least(lit(JaccardPrefixSlack),
-        col("min_sz") - expr("(3 * min_sz) div 5"))).count()
+    val a8 = jaccardSpine.pairAgg(ranked).transform(CacheScope.barrier)
+    val after = a8.filter(jaccardSpine.survivorFilter).count()
     val candRows8 = a8.agg(sum(col("matches"))).head().getLong(0)
     spark.catalog.clearCache(); CacheScope.release()
     f"verifyPairsBefore=$before verifyPairsAfter=$after " +
@@ -1196,17 +1226,13 @@ object DedupOps {
     * of the bitmap variant's lang-only all-pairs join and global-Window
     * dictionary. Same result (same oracle) — different plan.
     *
-    * The guarantee: if round(|A∩B|/|A|, 4) ≥ 0.8 then at most
-    * m = ⌊0.20005·|A|⌋ ≤ ⌊|A|/5⌋+1 of A's grams are missing from B
-    * (the 0.00005 slop absorbs the pre-filter rounding; exact for
-    * |A| < 20 000, and gram sets are bounded by document length). So ANY
-    * ⌊|A|/5⌋+2 grams of A contain at least one gram of B — in particular
-    * A's ⌊|A|/5⌋+2 RAREST grams (by within-language document frequency).
-    * Candidates are therefore an equijoin of prefix grams (probe side)
-    * against full postings (index side) on (lang, gh): every qualifying
-    * pair in EITHER direction is caught (A⊂B via A's prefix, B⊂A via
-    * B's), recall is 1.0 by construction, and the hash check against the
-    * quadratic oracle passes exactly.
+    * Recall 1.0 (m = ⌊0.20005·|A|⌋ misses, the 0.00005 slop absorbing
+    * the pre-filter rounding — exact for |A| < 20 000) and the PPJoin
+    * positional + PPJoin+ match-count thinning: derivations at
+    * [[BandedSpine]] (containment instantiation [[containmentSpine]]);
+    * every qualifying pair in EITHER direction is caught (A⊂B via A's
+    * prefix, B⊂A via B's) and the hash check against the quadratic
+    * oracle passes exactly.
     *
     * 100 TB shape — every stage is key-partitioned, nothing is
     * single-task and nothing is all-pairs:
@@ -1273,57 +1299,28 @@ object DedupOps {
     (g, ranked)
   }
 
-  /** Prefix slack K: the prefix is the ⌊sz/5⌋+K rarest grams and a pair
-    * must collect ≥ min(K, sz−⌊0.20005·sz⌋) prefix matches before the
-    * array-carrying verify join sees it. K = 2 is the minimum that
-    * preserves recall; raising it to 8 trades +6 narrow prefix rows per
-    * doc for a multi-match requirement that collapses the verify set —
-    * measured on the 50 k-doc realistic-vocabulary corpus (round 10):
-    * 22.85 M single-shared-gram candidate pairs → the ≥K filter leaves
-    * ~0.1% of them, turning a >75 GB spill DNF (each verify row carries
-    * two ~600-element gram arrays) into an in-memory pass. Recall stays
-    * exactly 1.0: a qualifying direction misses ≤ m = ⌊0.20005·sz⌋ grams,
-    * so its m+K-gram prefix has ≥ K matches (≥ sz−m when sz < m+K).
+  /** Containment prefix slack K = 8 — recall derivation on
+    * [[BandedSpine]]; the measured K = 2 → 8 trade is round 10's:
+    * 22.85 M single-shared-gram candidate pairs on the 50 k-doc
+    * realistic-vocabulary corpus → the ≥K filter leaves ~0.1% of them,
+    * turning a >75 GB spill DNF into an in-memory pass.
     */
   private val PrefixSlack = 8
 
-  private def containmentBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame = {
-    val probe = ranked
-      .filter(col("rk") <= expr("sz div 5") + lit(PrefixSlack)) // integer ⌊sz/5⌋: no FP floor drift
-    // The equijoin output stays NARROW (ids + sizes + per-row flags, no
-    // gram arrays): the per-pair aggregate below is the only thing that
-    // touches all candidate rows, and the expensive array-carrying
-    // verify join runs on the tiny multi-match survivor set. Two pair
-    // filters compose, each individually recall-1.0:
-    //
-    //   - Positional (the PPJoin refinement), per ROW: a first match at
-    //     ranks (rkP, rkQ) bounds the intersection — |P∩Q| ≤
-    //     min(|P|−rkP, |Q|−rkQ) + 1 — and the probe direction needs
-    //     |P∩Q| ≥ 0.79995·|P| (0.8 minus the round-to-4 slop; the −1
-    //     absorbs any FP edge). A qualifying pair's FIRST prefix match
-    //     sits at rkP ≤ m+1, which always passes — so the pair-level
-    //     condition is EXISTS(row passing), not ALL(rows passing):
-    //     deeper matches of a true pair legitimately fail the per-row
-    //     bound and must still count toward the match total.
-    //   - Count (the PPJoin+ flavor): the qualifying direction alone
-    //     contributes ≥ min(K, sz−⌊0.20005·sz⌋) distinct prefix-gram
-    //     matches (see [[PrefixSlack]]); cross-direction double counts
-    //     only ADD, so ≥-filtering is safe.
-    val cand = probe.as("p").join(ranked.as("q"),
-        col("p.lang") === col("q.lang") && col("p.gh") === col("q.gh") &&
-          col("p.doc_id") =!= col("q.doc_id"))
-      .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
-        least(col("p.sz"), col("q.sz")).as("row_min_sz"),
-        (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
-          lit(0.79995) * col("p.sz") - lit(1)).cast("int").as("pos_ok"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
-        min(col("row_min_sz")).as("min_sz"))
-      .filter(col("pos_ok") === 1 && col("matches") >= least(lit(PrefixSlack),
-        col("min_sz") - floor(lit(0.20005) * col("min_sz"))))
-      .select(col("a_id"), col("b_id"))
-    cand
+  /** Containment instantiation of [[BandedSpine]] (t = 0.8): integer
+    * ⌊sz/5⌋ prefix floor (no FP floor drift), asymmetric-direction
+    * positional bound, no extra blocking key (either side may be the
+    * qualifying direction, so length buckets don't apply).
+    */
+  private val containmentSpine = BandedSpine(
+    slack = PrefixSlack,
+    prefixFloor = n => expr(s"$n div 5"),
+    missFloor = n => floor(lit(0.20005) * col(n)),
+    extraKeys = Nil,
+    pairLowerBound = (szP, _) => lit(0.79995) * szP)
+
+  private def containmentBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame =
+    containmentSpine.survivors(ranked)
       .join(g.select(col("doc_id").as("a_id"), col("gr").as("ga"), col("sz").as("sza")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("gr").as("gb"), col("sz").as("szb")), Seq("b_id"))
       .withColumn("ic", expr("intersect_count_sorted(ga, gb)").cast("double"))
@@ -1331,7 +1328,6 @@ object DedupOps {
         round(col("ic") / col("sza"), 4).as("cont_a"),
         round(col("ic") / col("szb"), 4).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
-  }
 
   /** Posting-density probe result for the containment family. `density`
     * is the fraction of the corpus the typical SELECTED prefix gram's
@@ -1370,7 +1366,7 @@ object DedupOps {
     */
   private[graft] def containmentDensityProbe(g: DataFrame,
                                              ranked: DataFrame): ContainmentDensity = {
-    val r = ranked.filter(col("rk") <= expr("sz div 5") + lit(PrefixSlack))
+    val r = ranked.filter(containmentSpine.prefixCond())
       .agg(avg(col("df")), sum(col("df").cast("double"))).head()
     ContainmentDensity(g.count(),
       if (r.isNullAt(0)) 0.0 else r.getDouble(0),
@@ -1542,6 +1538,49 @@ object DedupOps {
       |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |  WHERE len(a.gr) > 0 AND len(b.gr) > 0)
       |WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
+
+  /** Quadratic (blocked all-pairs) twin of [[ngramJaccardShingles]] —
+    * same gram source, same semantics, same DuckDB oracle
+    * ([[ngramJaccardShinglesSql]]), NO prefix filtering: the in-engine
+    * equality partner [[graft.TwinCheck]] pits the banded scale tier
+    * against at corpus sizes the unit suites never reach (round-12
+    * verdict ask — the tier pair must be row-identical at any SF).
+    * Bounded-quadratic caveat as [[ngramJaccardPairs]]: comparisons are
+    * n²/2 within (lang × length-bucket) blocks, fine on a bounded
+    * corpus, never the scale path.
+    */
+  def ngramJaccardShinglesPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, _) = jaccardGramTables(spark, sfDir, shingles3Sql("t"))
+    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"), col("gr").as("ga"))
+    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"), col("gr").as("gb"))
+    a.join(b, Seq("lang", "lenb"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
+      .filter(col("jacc") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  /** Quadratic (lang-blocked all-pairs) twin of
+    * [[ngramContainmentShingles]] — same gram source and oracle
+    * ([[ngramContainmentShinglesSql]]), the containment mirror of
+    * [[ngramJaccardShinglesPairs]] (no length-bucket block: containment
+    * pairs have very different lengths). The merge-pass comparator is
+    * the right quadratic form here — shingle overlap is SPARSE (open
+    * vocabulary), the dense-overlap bitmap tier exists for the char-gram
+    * regime.
+    */
+  def ngramContainmentShinglesPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, _) = containmentGramTables(spark, sfDir, shingles3Sql("t"))
+    val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"), col("sz").as("sza"))
+    val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"), col("sz").as("szb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("ic", expr("intersect_count_sorted(ga, gb)").cast("double"))
+      .select(col("a_id"), col("b_id"),
+        round(col("ic") / col("sza"), 4).as("cont_a"),
+        round(col("ic") / col("szb"), 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+  }
 
   /** Content-defined-chunking (CDC) dedup: split each normalized text at
     * content-derived boundaries — a position is a cut iff the 4-gram
