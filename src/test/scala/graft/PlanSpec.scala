@@ -370,6 +370,42 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("banded spine: each family's arithmetic constants pinned in the plan") {
+    // drift tripwire for the shared BandedSpine parametrization (r12):
+    // the family constants the recall derivations fix must survive into
+    // the physical plan verbatim. A change to a spine parameter — slack,
+    // a floor form, a positional bound — moves one of these strings and
+    // must arrive as a deliberate edit HERE, next to the r10/r11
+    // measured evidence it invalidates, not as a silent refactor.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      CacheScope.release(); spark.catalog.clearCache()
+      val jp = CacheScope.uncached(
+        SparkEntry.queries("ngram_jaccard_banded")(spark, sf)
+          .queryExecution.executedPlan).toString
+      // t/(1+t) at t=0.4 (positional bound), the slack-8 count threshold,
+      // and the ⌊3·sz/5⌋ integer floor in BOTH the prefix filter and the
+      // count threshold (4 `div 5` sites vs containment's 2)
+      assert(jp.contains("0.28571428571428575"), "jaccard positional bound t/(1+t)")
+      assert(jp.contains("least(8,"), "jaccard PPJoin+ count threshold slack")
+      assert(jp.sliding(5).count(_ == "div 5") == 2,
+        "jaccard integer prefix/miss floors: (3*sz) div 5 in the prefix " +
+          "filter AND (3*min_sz) div 5 in the count threshold")
+      CacheScope.release(); spark.catalog.clearCache()
+      val cp = CacheScope.uncached(
+        SparkEntry.queries("ngram_containment_banded")(spark, sf)
+          .queryExecution.executedPlan).toString
+      // 0.8 minus/plus the round-to-4 slop (positional bound, FP miss
+      // floor), the slack-8 threshold, the integer ⌊sz/5⌋ prefix floor
+      assert(cp.contains("0.79995"), "containment positional bound 0.8 - slop")
+      assert(cp.contains("0.20005"), "containment FP miss floor 0.2 + slop")
+      assert(cp.contains("least(8,"), "containment PPJoin+ count threshold slack")
+      assert(cp.sliding(5).count(_ == "div 5") == 1,
+        "containment integer prefix floor: sz div 5 in the prefix filter " +
+          "only (the miss floor is the FP 0.20005 form)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedup_lsh_recall: truth candidates come from a gh-keyed equijoin, slim rows") {
     // the exact-recall truth side must never degenerate to all-pairs: the
     // prefix-vs-postings join is keyed on the shingle hash, and its
