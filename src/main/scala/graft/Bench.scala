@@ -110,10 +110,19 @@ object Bench {
       .map { case (fam, rs) =>
         "\"" + fam + "\":" + f3(rs.map(_._2.med).sum) }
       .mkString("{", ",", "}")
-    val worst = results.filter(_._2.med >= 0).sortBy(-_._2.med).take(20)
+    val worstRows = results.filter(_._2.med >= 0).sortBy(-_._2.med).take(20)
+    val worst = worstRows
       .map { case (k, s) => "\"" + k + "\":" + f3(s.med) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir",$meta,"n_queries":${results.size},"skipped":$skippedJson,"families":$fams,"queries":$worst,"queries_note":"worst-20 of ${results.size} by median; full map in BENCH_local.json"}"""
+    // minima alongside the worst-20 medians (r12 verdict #4): an ambient
+    // spike is then readable from the compact record alone — a median
+    // far above its own minimum is wear/contention, not the plan (the
+    // r12 driver record's ngram_containment_pairs 3.72 s median sat on a
+    // 0.53 s minimum; every other record of that query is ~0.45–0.53 s)
+    val worstMin = worstRows
+      .map { case (k, s) => "\"" + k + "\":" + f3(s.min) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir",$meta,"n_queries":${results.size},"skipped":$skippedJson,"families":$fams,"queries":$worst,"queries_min":$worstMin,"queries_note":"worst-20 of ${results.size} by median, with per-query minima; full map in BENCH_local.json"}"""
     val verbose = s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir",$meta,"skipped":$skippedJson,"variance":$vari,"queries":$qs}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
@@ -131,7 +140,16 @@ object Bench {
     */
   private def runSplit(names: Seq[String], sfDir: String,
                        skipped: Seq[String], protocol: String): Unit = {
-    val chunks = names.groupBy(family).toSeq.sortBy(_._1)
+    // The bounded-quadratic coverage twins fork in their OWN chunks,
+    // separate from their family's shipped tiers (r12 verdict #4): they
+    // are the rows most exposed to chunk-neighbor heap wear — the r12
+    // driver record showed ngram_containment_pairs spread 0.53–16.2 s
+    // intra-run while the builder's same-code twin held 0.43 s flat —
+    // and conversely their own multi-GB heap churn is the worst wear a
+    // shipped tier could inherit. Isolating them costs one extra ~10 s
+    // session boot per affected family.
+    val chunks = names.groupBy(n => (family(n), quadraticTwins(n)))
+      .toSeq.sortBy(_._1)
       .flatMap { case (_, qs) => qs.sorted.grouped(ChunkMax) }
     // Classpath for the child JVMs, detected POSITIVELY (r8 ADVICE: the
     // old contains("spark") test matched any launcher path or checkout
@@ -353,18 +371,23 @@ object Bench {
       else (Nil, picked0)
     val noSplit = sys.env.get("SPARK_GRAFT_BENCH_NOSPLIT").contains("1")
     val fast = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
-    // protocol id v3: v1 = warm-cache single-JVM (rounds ≤6), v2 = r7's
-    // cold-cache fast mode, v3 = r8+ cold-cache + fork-per-family-chunk.
-    // Totals are comparable only within one protocol id.
+    // protocol id v4: v1 = warm-cache single-JVM (rounds ≤6), v2 = r7's
+    // cold-cache fast mode, v3 = r8–r12 cold-cache + fork-per-family-
+    // chunk, v4 = r13+ v3 with the quadratic coverage twins isolated in
+    // their own chunks. Totals are comparable only within one protocol
+    // id (v3→v4 moves only chunk composition, so per-query medians of
+    // non-twin queries remain comparable; the twins' medians should DROP
+    // to their historical fresh-JVM minima).
     val jitGate = sys.env.get("SPARK_GRAFT_BENCH_JITGATE").contains("1")
     val runsDesc =
       if (fast && jitGate) "jit-settled warmups (<=4, settle when compile delta < 3s) + 1 cold-cache timed run"
       else if (fast) "1 warmup + 1 cold-cache timed run"
       else "stability-gated warmup, median-of-3 (best-3-of-6 on spread)"
     if (wanted.isEmpty && !noSplit)
-      runSplit(picked, sfDir, skipped, s"v3 fork-per-family-chunk; $runsDesc")
+      runSplit(picked, sfDir, skipped,
+        s"v4 fork-per-family-chunk, quadratic twins isolated; $runsDesc")
     else emit(measureInProcess(picked), sfDir, skipped,
-      s"v3 single-jvm explicit-list; $runsDesc", 0, 0)
+      s"v4 single-jvm explicit-list; $runsDesc", 0, 0)
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

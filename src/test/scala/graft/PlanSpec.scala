@@ -385,7 +385,8 @@ class PlanSpec extends SparkSpec {
           .queryExecution.executedPlan).toString
       // t/(1+t) at t=0.4 (positional bound), the slack-8 count threshold,
       // and the ⌊3·sz/5⌋ integer floor in BOTH the prefix filter and the
-      // count threshold (4 `div 5` sites vs containment's 2)
+      // count threshold (2 `div 5` sites vs containment's 1 — matching
+      // the assertions below)
       assert(jp.contains("0.28571428571428575"), "jaccard positional bound t/(1+t)")
       assert(jp.contains("least(8,"), "jaccard PPJoin+ count threshold slack")
       assert(jp.sliding(5).count(_ == "div 5") == 2,
