@@ -25,6 +25,7 @@ object Graft {
     SimHash32.register(spark)
     CharEntropyQ.register(spark)
     JlProject.register(spark)
+    graft.functions.Md5Head64.register(spark)
     if (!spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("weighted_avg")))
       spark.udf.register("weighted_avg",

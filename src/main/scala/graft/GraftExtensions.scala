@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, CharEntropyQ, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, JlProject, L2Distance, SimHash32, WinnowFingerprint, ZValue}
+import graft.functions.{BitmapAndCount, CharEntropyQ, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, JlProject, L2Distance, Md5Head64, SimHash32, WinnowFingerprint, ZValue}
 
 /** `SparkSessionExtensions` injection point — the config-driven twin of
   * [[Graft.init]]: sessions created with
@@ -63,5 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("jl_project", classOf[JlProject],
       "jl_project(v, k) - deterministic ±1 JL projection to k dims")(
       es => JlProject(es(0), es(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction(fn("md5_h64", classOf[Md5Head64],
+      "md5_h64(s) - first 8 md5 bytes of s as a big-endian long")(
+      es => Md5Head64(es.head)))
   }
 }

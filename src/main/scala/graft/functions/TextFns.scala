@@ -21,12 +21,19 @@ object TextFns {
   /** 32-bit deterministic hash shared with the DuckDB oracle (SQL fragment
     * form, for use inside higher-order-function lambdas where Column
     * composition isn't available).
+    *
+    * Since r13 this evaluates through the fused [[Md5Head64]] kernel —
+    * the identical integer (first 8 hex chars of the digest) without the
+    * hex-string → substring → conv allocation chain; see the kernel's
+    * scaladoc for the bit-range equivalence. `md5_h64` is registered by
+    * [[graft.Tables.table]] (every batch operator's first act), by the
+    * streaming pipelines that hash, and by [[graft.GraftExtensions]].
     */
   def h32Sql(inner: String): String =
-    s"CAST(conv(substring(md5($inner), 1, 8), 16, 10) AS BIGINT)"
+    s"shiftrightunsigned(md5_h64($inner), 32)"
 
   def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    call_function("shiftrightunsigned", call_function("md5_h64", c), lit(32))
 
   /** Normalize: lowercase, collapse non-alphanumerics to single spaces. */
   def normText(c: Column): Column =

@@ -460,14 +460,21 @@ object Relational {
     * operator codegen'd and ≤ |flags|·m partial rows shuffled.
     */
   def q18ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    // r13: same sketch, same md5 base, same output — evaluated through
+    // the fused md5_h64 kernel with the rank derived per bucket from
+    // min(w) (the production profile's two-level shape; equivalence in
+    // [[Sketches.md5Hash]]). Was 1.95 s at sf0.1 on the hex-string
+    // conv/substring chain with a per-row length(bin(w)) rank.
     Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"), Sketches.hllIdx(col("l_partkey")).as("_i"))
-      .agg(max(Sketches.hllRank(col("l_partkey"))).as("_mr"),
+      .withColumn("_h", Sketches.md5Hash(col("l_partkey")))
+      .groupBy(col("l_returnflag"), Sketches.hllIdxFromMd5(col("_h")).as("_i"))
+      .agg(min(Sketches.hllRankSourceFromMd5(col("_h"))).as("_mw"),
         count(lit(1)).as("_cnt"))
       .groupBy(col("l_returnflag"))
       .agg(
         Sketches.hllEstimate(count(lit(1)),
-          sum(Sketches.hllContribution(col("_mr")))).as("approx_parts"),
+          sum(Sketches.hllContribution(
+            Sketches.hllRankOfMinSource(col("_mw"))))).as("approx_parts"),
         sum(col("_cnt")).as("n_rows"))
 
   val q18ApproxDistinctSql: String =
@@ -879,25 +886,30 @@ object Relational {
     * scale concern.
     */
   def q21Approx(spark: SparkSession, sfDir: String): DataFrame =
+    // r13: same sketch, same md5 base, same output — the q21_approx_prod
+    // plan shape (raw hash carried through the generator so the
+    // per-bucket rank smear binds an attribute; rank from min(w)) with
+    // md5_h64 in place of xxhash64. Was 4.1 s at sf0.1 computing
+    // hex-string idx/rank per row inside the generator input.
     Tables.lineitem(spark, sfDir)
       .select(explode(array(
         struct(lit(0).as("tag"),
-          Sketches.hllIdx(col("l_orderkey")).as("idx"),
-          Sketches.hllRank(col("l_orderkey")).as("rk"),
+          Sketches.md5Hash(col("l_orderkey")).as("h"),
           col("l_shipdate").cast("date").as("sd"),
           col("l_quantity").as("qty"),
           col("l_extendedprice").as("price")),
         struct(lit(1).as("tag"),
-          Sketches.hllIdx(col("l_partkey")).as("idx"),
-          Sketches.hllRank(col("l_partkey")).as("rk"),
+          Sketches.md5Hash(col("l_partkey")).as("h"),
           lit(null).cast("date").as("sd"),
           lit(null).cast("double").as("qty"),
           lit(null).cast("double").as("price")))).as("x"))
       .select(col("x.*"))
-      .groupBy(col("tag"), col("idx"))
-      .agg(max(col("rk")).as("mr"), count(col("sd")).as("cnt"),
+      .groupBy(col("tag"), Sketches.hllIdxFromMd5(col("h")).as("idx"))
+      .agg(min(Sketches.hllRankSourceFromMd5(col("h"))).as("mw"),
+        count(col("sd")).as("cnt"),
         min(col("sd")).as("mn"), max(col("sd")).as("mx"),
         sum(col("qty")).as("sq"), sum(col("price")).as("sp"))
+      .withColumn("mr", Sketches.hllRankOfMinSource(col("mw")))
       .agg(
         sum(col("cnt")).as("n_rows"),
         Sketches.hllEstimate(

@@ -51,30 +51,39 @@ object Sketches {
   private val WBits = 48
 
   /** md5 hash base — the oracle-parity TWIN profile (r8): both engines
-    * compute identical hex digests, so the driver hash-checks the sketch
-    * itself. ~5× the per-row CPU of the production base below; kept as
+    * compute identical digests, so the driver hash-checks the sketch
+    * itself. Costlier per row than the production base below; kept as
     * the documented cross-check, not the deployment path. The production
     * profile ([[prodHash]]/q18_approx_prod/q21_approx_prod, r9) runs on
     * one codegen'd xxhash64 per row AND is still driver-checked — its
     * DuckDB twin mirrors xxhash64 bit-exactly ([[xxh64TableSql]]).
+    *
+    * Since r13 the md5 profile evaluates through the fused
+    * [[graft.functions.Md5Head64]] kernel (one digest per row, no
+    * hex-string/substring/conv chain) and derives bucket + rank source
+    * from bit ranges of the head — the exact integers the old
+    * `conv(substring(md5(...)))` forms produced (equivalence table on
+    * the kernel), so the DuckDB twins and every emitted value are
+    * unchanged. The rank now derives per BUCKET from the aggregated
+    * min rank source (max rank == rank of min w — bit length is
+    * monotone in w, and w = 0 maps to rank [[WBits]]+1 on both forms),
+    * the same two-level shape the production profile uses.
     */
-  private def hexDigest(value: Column): Column = md5(value.cast("string"))
+  def md5Hash(value: Column): Column =
+    call_function("md5_h64", value.cast("string"))
 
-  /** Bucket index: 16-bit hex prefix mod m (16384 divides 65536 — exactly
-    * uniform).
+  /** Bucket index from the md5 head: hex chars 1–4 (top 16 bits) mod m
+    * (16384 divides 65536 — exactly uniform).
     */
-  def hllIdx(value: Column): Column =
-    conv(substring(hexDigest(value), 1, 4), 16, 10).cast("long") % M
+  def hllIdxFromMd5(h: Column): Column =
+    call_function("shiftrightunsigned", h, lit(48)) % M
 
-  /** Rank = 1 + leading zeros of the 48-bit rank source.
-    * `length(bin(w))` is floor(log2 w)+1 EXACTLY (string length of the
-    * binary form — codegen'd; a float log2 can land on k−ε at powers of
-    * two and floor to the wrong rank).
+  /** 48-bit rank source from the md5 head: hex chars 5–16 (low 48 bits
+    * — bit-disjoint from the bucket index). Rank derives per bucket via
+    * [[hllRankOfMinSource]], exactly as the production profile.
     */
-  def hllRank(value: Column): Column = {
-    val w = conv(substring(hexDigest(value), 5, 12), 16, 10).cast("long")
-    when(w === 0, lit(WBits + 1)).otherwise(lit(WBits + 1) - length(bin(w)))
-  }
+  def hllRankSourceFromMd5(h: Column): Column =
+    h.bitwiseAND(lit((1L << WBits) - 1))
 
   /** Fixed-point harmonic contribution 2^(Scale−maxRank) of one bucket:
     * an unsigned right shift of 2^Scale, so rank > Scale floors to 0

@@ -19,7 +19,8 @@ import graft.functions.TextFns._
   */
 object LineDedupStream {
 
-  def lineDedupStream(docs: DataFrame, chunkWords: Int = 8): DataFrame =
+  def lineDedupStream(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+    graft.functions.Md5Head64.register(docs.sparkSession) // h32Sql needs md5_h64
     docs
       .withColumn("t", tokens(col("text")))
       .withColumn("chunks", expr(chunksSql("t", chunkWords)))
@@ -31,4 +32,5 @@ object LineDedupStream {
       .select(col("doc_id"),
         size(col("kept")).cast("long").as("n_kept"),
         expr("array_join(transform(kept, z -> z.chunk), ' ')").as("text_clean"))
+  }
 }

@@ -12,6 +12,7 @@ import graft.functions.TextFns._
 class TextFnsSpec extends SparkSpec {
 
   test("shingles and char-grams are empty (not errors) for docs below the n-gram size") {
+    graft.functions.Md5Head64.register(spark) // hashArraySql -> md5_h64
     val df = spark.createDataFrame(Seq(
       (1, ""),                     // empty text → tokens [""] (size 1)
       (2, "ab"),                   // 1 token, 2 chars
