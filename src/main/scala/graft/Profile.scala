@@ -85,11 +85,13 @@ object Profile {
           f"serde=${(acc.deserMs + acc.resultSerMs) / 1000.0}%5.2fs shufW=${acc.shuffleWriteMs / 1000.0}%5.2fs")
         if (detail) acc.stageRows.foreach(println)
       }
+      // cold = first run (JIT + barrier build); hot = barriers left warm,
+      // exactly the bench protocol's timed-run regime (within a query the
+      // warm-up run's barriers stay live; CacheScope.release only between
+      // queries)
       run("cold", detail = false)
-      CacheScope.release(); spark.catalog.clearCache(); System.gc()
-      run("warm", detail = false)
-      CacheScope.release(); spark.catalog.clearCache(); System.gc()
-      run("warm", detail = sys.env.get("GRAFT_PROFILE_STAGES").contains("1"))
+      run("hot1", detail = false)
+      run("hot2", detail = sys.env.get("GRAFT_PROFILE_STAGES").contains("1"))
       CacheScope.release(); spark.catalog.clearCache(); System.gc()
     }
     spark.stop()

@@ -21,6 +21,37 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Floor a COMPUTE-dense frame's parallelism at the cluster's capacity
+    * (r13, guide §2/§6). The sf parquet tables are single-row-group
+    * files, so a scan plans ONE task and every expression chain fused
+    * into it (gram hashing, shingle digests — seconds of CPU per MB of
+    * text) runs serially no matter how many cores exist; measured at
+    * sf0.1 as a 21 s single-task gram build under a 3 s parallel plan.
+    * At scale the scan already carries ≥ cores partitions and this is
+    * the identity — the repartition only fires when the input plans
+    * FEWER partitions than cores, so it can never coalesce a big scan.
+    * Streaming frames pass through (repartition-by-round-robin is not
+    * supported mid-stream and micro-batches re-plan per trigger).
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val n = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    }
+  }
+
+  /** Partition count for explicitly pinned exchanges (r13): the session's
+    * configured shuffle width, floored at core count. Used where AQE's
+    * byte-based coalescing mis-sizes a COMPUTE-dense stage (candidate
+    * joins and verify joins over gram/shingle arrays: tiny bytes, heavy
+    * per-row CPU — measured at sf0.1 as 6-of-32-core stages). Conf-driven
+    * on a cluster, never a local constant.
+    */
+  def nPart(spark: SparkSession): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -59,7 +59,10 @@ object DedupOps {
     * consumed once anyway, so there is nothing to barrier).
     */
   private[graft] def withSignature(df: DataFrame, barrier: Boolean): DataFrame = {
-    val proj = df
+    // r13: floor the signature build's parallelism at core count — the
+    // single-row-group sf parquet plans a 1-task scan and the fused
+    // shingle+digest chain ran serially (Tables.parallelized scaladoc)
+    val proj = Tables.parallelized(df)
       .withColumn("t", tokens(col("text")))
       .withColumn("sh", expr(shingles3Sql("t")))
       .withColumn("hs", expr(hashArraySql("sh")))
@@ -157,8 +160,14 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+    // r13: pin the verify joins' width — compute-dense rows (two
+    // string-set intersections per candidate pair) that AQE's byte-based
+    // coalescing under-parallelizes (the dedupLshRecall confirm-join
+    // rationale; Tables.nPart scaladoc)
     cand
+      .repartition(Tables.nPart(shs.sparkSession), col("a_id"))
       .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+      .repartition(Tables.nPart(shs.sparkSession), col("b_id"))
       .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
@@ -242,10 +251,14 @@ object DedupOps {
       .withColumn("gh", expr(h32Sql("s")))
       .select(col("doc_id"), col("sz"), col("gh"))
     val dfreq = posting.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    // r13: ranking cached pre-partitioned on gh — the truth candidate
+    // equijoin's key — so the probe-vs-postings join plans zero
+    // exchanges at a pinned width (the jaccardGramTables rationale)
     val ranked = posting.join(dfreq, Seq("gh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
       .select(col("doc_id"), col("sz"), col("gh"), col("rk"))
+      .repartition(Tables.nPart(spark), col("gh"))
       .transform(CacheScope.barrier) // probe and index sides share one ranking pass
     val probe = ranked.filter(col("rk") <= expr("sz div 2") + lit(2))
     val cand = probe.as("p").join(ranked.as("q"),
@@ -253,8 +266,15 @@ object DedupOps {
       .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
         greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
       .distinct()
+    // the confirm join's rows are compute-dense (two string-set
+    // intersections per pair, tiny bytes), exactly what AQE's byte-based
+    // coalescing under-sizes — measured at sf0.1 as a 6-task stage
+    // holding 65% of the query's wall. Pin both id-keyed exchanges
+    // (r13; Tables.nPart scaladoc).
     val truth = cand
+      .repartition(Tables.nPart(spark), col("a_id"))
       .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+      .repartition(Tables.nPart(spark), col("b_id"))
       .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
       .withColumn("jacc",
         round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
@@ -737,7 +757,7 @@ object DedupOps {
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     JaccardSimilarity.register(spark)
-    val g = Tables.documents(spark, sfDir)
+    val g = Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("norm", normText(col("text")))
       .withColumn("lenb", expr("n_chars div 100")) // length-bucket blocking
       .select(col("doc_id"), col("lang"), col("lenb"),
@@ -748,7 +768,14 @@ object DedupOps {
       .transform(CacheScope.barrier) // gram-hash sets materialized once, not per pair
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"), col("gr").as("ga"))
     val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"), col("gr").as("gb"))
-    a.join(b, Seq("lang", "lenb"))
+    // r13: the bounded-quadratic comparator broadcasts its build side —
+    // blocks key on ≤ |langs|·|lenbs| values, so a shuffled join has at
+    // most that many non-empty partitions and AQE's byte-based coalescing
+    // collapsed the compute (2.4M merge passes) onto ONE task (guide
+    // §2.5: too few distinct key values). Broadcasting the (bounded by
+    // the tier contract) gram table lets the pair generation stream over
+    // the cached side's full partitioning instead. Same rows out.
+    a.join(broadcast(b), Seq("lang", "lenb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
       .filter(col("jacc") >= 0.4)
@@ -828,7 +855,7 @@ object DedupOps {
   private def jaccardGramTables(spark: SparkSession, sfDir: String,
       gramSql: String = charGramsSql("norm", 4)): (DataFrame, DataFrame) = {
     JaccardSimilarity.register(spark)
-    val g = Tables.documents(spark, sfDir)
+    val g = Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("norm", normText(col("text")))
       .withColumn("t", split(col("norm"), " "))
       .withColumn("lenb", expr("n_chars div 100"))
@@ -841,10 +868,18 @@ object DedupOps {
     val posting = g.select(col("doc_id"), col("lang"), col("lenb"), col("sz"),
       explode(col("gr")).as("gh"))
     val dfreq = posting.groupBy(col("lang"), col("gh")).agg(count(lit(1)).as("df"))
+    // r13: the ranking is CACHED PRE-PARTITIONED on (lang, gh) — a subset
+    // of every candidate equijoin's keys in both families, so the spine's
+    // self-join plans ZERO exchanges (guide §2.4: two ops keyed the same
+    // way share one exchange; here the cache pays it once in the barrier
+    // build). The explicit width also pins the join's parallelism where
+    // AQE's byte-based coalescing mis-sized the compute-dense candidate
+    // stage (Tables.nPart scaladoc; measured 14-of-32 tasks at sf0.1).
     val ranked = posting.join(dfreq, Seq("lang", "gh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
       .select(col("doc_id"), col("lang"), col("lenb"), col("sz"), col("gh"), col("rk"))
+      .repartition(Tables.nPart(spark), col("lang"), col("gh"))
       .transform(CacheScope.barrier) // probe and index sides share one ranking pass
     (g, ranked)
   }
@@ -1193,12 +1228,19 @@ object DedupOps {
                |  aggregate(filter(idxs, i -> i div 64 = w), 0L,
                |    (a, i) -> a | shiftleft(1L, cast(i % 64 AS int))))""".stripMargin)
           .as("bm"))
+      // r13: cache at pinned width — the bitmap table's bytes are small
+      // enough that AQE coalesced it to ~1 partition, serializing the
+      // all-pairs popcount scan below (Tables.nPart scaladoc)
+      .repartition(Tables.nPart(g.sparkSession), col("doc_id"))
       .transform(CacheScope.barrier)
     val a = bm.select(col("doc_id").as("a_id"), col("lang"),
       col("sz").as("sza"), col("bm").as("bma"))
     val b = bm.select(col("doc_id").as("b_id"), col("lang"),
       col("sz").as("szb"), col("bm").as("bmb"))
-    a.join(b, Seq("lang"))
+    // broadcast build side (r13): the lang-only block key starves a
+    // shuffled join of parallelism; the dense tier is bounded by the
+    // dispatcher's allPairsBound, so the build side broadcasts
+    a.join(broadcast(b), Seq("lang"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("ic", expr("bitmap_and_count(bma, bmb)").cast("double"))
       .select(col("a_id"), col("b_id"),
@@ -1277,7 +1319,7 @@ object DedupOps {
   private def containmentGramTables(spark: SparkSession, sfDir: String,
       gramSql: String = charGramsSql("norm", 4)): (DataFrame, DataFrame) = {
     JaccardSimilarity.register(spark)
-    val g = Tables.documents(spark, sfDir)
+    val g = Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("norm", normText(col("text")))
       .withColumn("t", split(col("norm"), " "))
       .select(col("doc_id"), col("lang"),
@@ -1290,11 +1332,14 @@ object DedupOps {
     val dfreq = posting.groupBy(col("lang"), col("gh")).agg(count(lit(1)).as("df"))
     // rarest-first rank of every gram within its doc — the COMMON order
     // (same per-lang df table) both the prefix condition and the
-    // positional filter below depend on
+    // positional filter below depend on. r13: cached pre-partitioned on
+    // the candidate equijoin's keys (see jaccardGramTables) — the spine's
+    // self-join plans zero exchanges at a pinned width.
     val ranked = posting.join(dfreq, Seq("lang", "gh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))))
       .select(col("doc_id"), col("lang"), col("sz"), col("gh"), col("rk"), col("df"))
+      .repartition(Tables.nPart(spark), col("lang"), col("gh"))
       .transform(CacheScope.barrier) // probe and index sides share one ranking pass
     (g, ranked)
   }
@@ -1553,7 +1598,9 @@ object DedupOps {
     val (g, _) = jaccardGramTables(spark, sfDir, shingles3Sql("t"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"), col("gr").as("ga"))
     val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"), col("gr").as("gb"))
-    a.join(b, Seq("lang", "lenb"))
+    // broadcast build side: same rationale as ngramJaccardPairs (r13) —
+    // block-key cardinality ≤ |langs|·|lenbs| starves a shuffled join
+    a.join(broadcast(b), Seq("lang", "lenb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("jacc", expr("jaccard_sorted(ga, gb)"))
       .filter(col("jacc") >= 0.4)
@@ -1573,7 +1620,9 @@ object DedupOps {
     val (g, _) = containmentGramTables(spark, sfDir, shingles3Sql("t"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"), col("sz").as("sza"))
     val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"), col("sz").as("szb"))
-    a.join(b, Seq("lang"))
+    // broadcast build side: same rationale as ngramJaccardPairs (r13) —
+    // lang-only block key starves a shuffled join of parallelism
+    a.join(broadcast(b), Seq("lang"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("ic", expr("intersect_count_sorted(ga, gb)").cast("double"))
       .select(col("a_id"), col("b_id"),
