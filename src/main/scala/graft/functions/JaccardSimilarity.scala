@@ -72,8 +72,64 @@ object JaccardSimilarity {
     Kernels.registerOnce(spark,
       "intersect_count_sorted")( exprs => IntersectCountSorted(exprs(0), exprs(1)))
     Kernels.registerOnce(spark,
+      "intersect_count_sorted_str")( exprs => IntersectCountSortedStr(exprs(0), exprs(1)))
+    Kernels.registerOnce(spark,
       "bitmap_and_count")( exprs => BitmapAndCount(exprs(0), exprs(1)))
   }
+}
+
+/** The [[IntersectCountSorted]] merge pass over SORTED, DISTINCT STRING
+  * arrays (r13). The MinHash family's verify/truth joins intersect
+  * shingle STRING sets (the oracle intersects the same string lists, so
+  * hashing them first would admit collisions the oracle doesn't see);
+  * `array_intersect` builds a hash set per evaluation — measured as the
+  * dominant stage of dedup_lsh_recall at sf0.1 (36.9 s of a 77 s
+  * executor total). One O(n+m) pass of binary UTF8String compares over
+  * `sort_array`-ordered inputs computes the identical count:
+  * `sort_array` orders StringType by UTF8String binary comparison,
+  * exactly the comparison this merge uses. Registered as
+  * `intersect_count_sorted_str(a, b)`.
+  */
+case class IntersectCountSortedStr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "intersect_count_sorted_str"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $n && $j < $m) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Popcount of the AND of two equal-length long-array bitmaps — exact

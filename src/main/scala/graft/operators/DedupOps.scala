@@ -151,8 +151,15 @@ object DedupOps {
     minhashLshPairsOf(Tables.documents(spark, sfDir))
 
   private def minhashLshPairsOf(docs: DataFrame): DataFrame = {
+    JaccardSimilarity.register(docs.sparkSession)
     val sig = withSignature(docs)
-    val shs = sig.select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    // r13: shingle sets stored SORTED so the verify intersection is one
+    // codegen'd merge pass (intersect_count_sorted_str) instead of
+    // array_intersect's per-evaluation hash-set build; same string-set
+    // semantics, same count (sort_array orders by the binary comparison
+    // the merge uses). The sets are never emitted, only intersected.
+    val shs = sig.select(col("doc_id"),
+      sort_array(array_distinct(col("sh"))).as("shset"))
     val exploded = bandExplode(sig)
     val a = exploded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val b = exploded.select(col("doc_id").as("b_id"), col("band"), col("bh"))
@@ -169,10 +176,10 @@ object DedupOps {
       .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
       .repartition(Tables.nPart(shs.sparkSession), col("b_id"))
       .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+      .withColumn("ic", expr("intersect_count_sorted_str(a_sh, b_sh)").cast("double"))
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          (size(col("a_sh")) + size(col("b_sh"))
-            - size(array_intersect(col("a_sh"), col("b_sh")))), 4)
+        round(col("ic") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("ic")), 4)
           .as("jacc"))
   }
 
@@ -235,6 +242,7 @@ object DedupOps {
     */
   def dedupLshRecall(spark: SparkSession, sfDir: String,
                      sampleN: Int = 10000): DataFrame = {
+    JaccardSimilarity.register(spark)
     val thr = 0.5
     val docsAll = Tables.documents(spark, sfDir)
     val nDocs = docsAll.count()
@@ -243,8 +251,9 @@ object DedupOps {
       else docsAll.filter(
         pmod(expr(h32Sql("concat('smp|', doc_id)")), lit(1000000L)) <
           lit(math.round(sampleN.toDouble / nDocs * 1000000L)))
+    // shset sorted for the merge-pass confirm (see minhashLshPairsOf, r13)
     val shs = withSignature(docs)
-      .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+      .select(col("doc_id"), sort_array(array_distinct(col("sh"))).as("shset"))
       .withColumn("sz", size(col("shset")))
       .transform(CacheScope.barrier) // postings, prefix rank, and confirm all reuse
     val posting = shs.select(col("doc_id"), col("sz"), explode(col("shset")).as("s"))
@@ -276,10 +285,10 @@ object DedupOps {
       .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
       .repartition(Tables.nPart(spark), col("b_id"))
       .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+      .withColumn("ic", expr("intersect_count_sorted_str(a_sh, b_sh)").cast("double"))
       .withColumn("jacc",
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          (size(col("a_sh")) + size(col("b_sh"))
-            - size(array_intersect(col("a_sh"), col("b_sh")))), 4))
+        round(col("ic") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("ic")), 4))
       .filter(col("jacc") >= thr)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nHit = minhashLshPairsOf(docs).filter(col("jacc") >= thr)
@@ -2080,6 +2089,7 @@ object DedupOps {
     * size.
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    JaccardSimilarity.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val sig = withSignature(docs)
     val isInc = col("doc_id") % 13 === 0
@@ -2088,14 +2098,16 @@ object DedupOps {
       .join(banded.filter(!isInc).select(col("doc_id").as("c_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select(col("n_id"), col("c_id")).distinct()
-    val shs = sig.select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    // shset sorted for the merge-pass confirm (see minhashLshPairsOf, r13)
+    val shs = sig.select(col("doc_id"),
+      sort_array(array_distinct(col("sh"))).as("shset"))
     val matches = cand
       .join(shs.select(col("doc_id").as("n_id"), col("shset").as("n_sh")), Seq("n_id"))
       .join(shs.select(col("doc_id").as("c_id"), col("shset").as("c_sh")), Seq("c_id"))
+      .withColumn("ic", expr("intersect_count_sorted_str(n_sh, c_sh)").cast("double"))
       .withColumn("jacc",
-        round(size(array_intersect(col("n_sh"), col("c_sh"))).cast("double") /
-          (size(col("n_sh")) + size(col("c_sh"))
-            - size(array_intersect(col("n_sh"), col("c_sh")))), 4))
+        round(col("ic") /
+          (size(col("n_sh")) + size(col("c_sh")) - col("ic")), 4))
       .filter(col("jacc") >= 0.5)
       .groupBy(col("n_id"))
       .agg(count(lit(1)).as("n_dups"),
