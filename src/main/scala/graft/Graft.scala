@@ -26,6 +26,7 @@ object Graft {
     CharEntropyQ.register(spark)
     JlProject.register(spark)
     graft.functions.Md5Head64.register(spark)
+    graft.functions.MatProject.register(spark)
     if (!spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("weighted_avg")))
       spark.udf.register("weighted_avg",

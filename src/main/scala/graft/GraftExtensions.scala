@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{BitmapAndCount, CharEntropyQ, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, JlProject, L2Distance, Md5Head64, SimHash32, WinnowFingerprint, ZValue}
+import graft.functions.{BitmapAndCount, CharEntropyQ, CosineSimilarity, EditWithin1, IntersectCountSorted, JaccardSimilarity, JlProject, L2Distance, MatProject, Md5Head64, SimHash32, WinnowFingerprint, ZValue}
 
 /** `SparkSessionExtensions` injection point — the config-driven twin of
   * [[Graft.init]]: sessions created with
@@ -66,5 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("md5_h64", classOf[Md5Head64],
       "md5_h64(s) - first 8 md5 bytes of s as a big-endian long")(
       es => Md5Head64(es.head)))
+    ext.injectFunction(fn("mat_project", classOf[MatProject],
+      "mat_project(v, means, mat) - centered matrix projection of a vector")(
+      es => {
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val means = es(1).eval(null).asInstanceOf[ArrayData].toDoubleArray.toSeq
+        val m = es(2).eval(null).asInstanceOf[ArrayData]
+        MatProject(es(0), means,
+          (0 until m.numElements()).map(i => m.getArray(i).toDoubleArray.toSeq))
+      }))
   }
 }

@@ -2002,7 +2002,10 @@ object DedupOps {
     * rank over.
     */
   private[graft] def spanWindows(docs: DataFrame, w: Int): DataFrame =
-    docs
+    // r13: the w-shingle digest chain fuses into the docs scan — floor
+    // its parallelism (Tables.parallelized scaladoc; measured −0.57 s on
+    // doc_span_clean / −0.30 s on doc_span_dedup at sf0.1)
+    Tables.parallelized(docs)
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), posexplode(expr(shinglesWSql("t", w))).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

@@ -388,7 +388,9 @@ object TextOps {
     * both with map-side partials; no joins, no windows.
     */
   def docRep2gram(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // r13: tokenization + 2-gram explode fuse into the docs scan — floor
+    // the parallelism (Tables.parallelized; measured −0.14 s at sf0.1)
+    Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), explode(expr(grams2Sql("t"))).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
@@ -416,7 +418,10 @@ object TextOps {
     * comparison is drift-free.
     */
   def docGopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    // r13: the whole feature panel fuses into the docs scan — floor the
+    // parallelism (Tables.parallelized; measured −0.14 s at sf0.1, with
+    // downstream doc_quality_train flat within its iteration-latency noise)
+    val base = Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"),
         size(col("t")).as("n_tokens"),
@@ -519,7 +524,7 @@ object TextOps {
          |  'i', i,
          |  'b', ((element_at($aArr, i + 1) * h + element_at($bArr, i + 1))
          |        % ${MinhashP}L) % $w))""".stripMargin
-    val grams = Tables.documents(spark, sfDir)
+    val grams = Tables.parallelized(Tables.documents(spark, sfDir)) // r13: parallel gram build
       .withColumn("t", tokens(col("text")))
       .select(explode(expr(grams2Sql("t"))).as("gram"))
       .withColumn("h", expr(h32Sql("gram")))

@@ -2068,6 +2068,7 @@ object VectorOps {
     opqRotateOf(Tables.embeddings(spark, sfDir), m)
 
   private[graft] def opqRotateOf(emb: DataFrame, m: Int): DataFrame = {
+    graft.functions.MatProject.register(emb.sparkSession)
     val (means, vals, vecs0) = pcaFitOf(emb)
     val sd = dims / m
     val order = opqAllocate(vals, m, sd)
@@ -2076,36 +2077,38 @@ object VectorOps {
     val mArr = means.map(lit9).mkString("array(", ", ", ")")
     val wMat = vecs.map(_.map(lit9).mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
+    // r13: the d×d rotation runs as the codegen'd mat_project kernel —
+    // the previous nested-HOF form evaluated d² interpreted lambdas per
+    // row (the JlProject lesson); identical fold order, identical sums,
+    // round(·, 6) stays outside the kernel
     emb.select(col("vec_id"), expr(
-      s"""transform(sequence(0, ${dims - 1}), c ->
-         |  round(aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), (acc, i) ->
-         |    acc + (CAST(element_at(embedding, i + 1) AS DOUBLE)
-         |           - element_at($mArr, i + 1))
-         |        * element_at(element_at($wMat, c + 1), i + 1)), 6))""".stripMargin)
+      s"transform(mat_project(embedding, $mArr, $wMat), x -> round(x, 6))")
       .as("v"))
   }
 
   private def pcaApply(spark: SparkSession, sfDir: String, k: Int,
                        whiten: Boolean): DataFrame = {
+    graft.functions.MatProject.register(spark)
     val (means, vals, vecs) = pcaFit(spark, sfDir)
     def lit9(d: Double) = java.lang.Double.toString(d) + "D"
     val mArr = means.map(lit9).mkString("array(", ", ", ")")
-    val cols = (0 until k).map { c =>
-      // λ ≤ 0 (degenerate direction) → weight 0: whitening a no-variance
-      // component would divide by zero for no information gain
+    // λ ≤ 0 (degenerate direction) → weight 0: whitening a no-variance
+    // component would divide by zero for no information gain
+    val wMat = (0 until k).map { c =>
       val scale =
         if (!whiten) 1.0
         else if (vals(c) > 0) 1.0 / math.sqrt(vals(c))
         else 0.0
-      val wArr = vecs(c).map(w => lit9(w * scale)).mkString("array(", ", ", ")")
-      expr(
-        s"""aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE), (acc, i) ->
-           |  acc + (CAST(element_at(embedding, i + 1) AS DOUBLE)
-           |         - element_at($mArr, i + 1))
-           |      * element_at($wArr, i + 1))""".stripMargin).as(s"p$c")
-    }
+      vecs(c).map(w => lit9(w * scale)).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    // r13: one mat_project kernel call per row (see opqRotateOf) — the
+    // projection array is computed once and the k output columns are
+    // element_at extracts; the per-column HOF form evaluated k·d
+    // interpreted lambdas per row
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id") +: cols: _*)
+      .select(col("vec_id"), expr(s"mat_project(embedding, $mArr, $wMat)").as("_p"))
+      .select(col("vec_id") +:
+        (0 until k).map(c => element_at(col("_p"), c + 1).as(s"p$c")): _*)
   }
 
   /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
