@@ -31,6 +31,13 @@ object NgramProbe {
       // and r11 jaccard banded compositions (box-independent counts)
       val s = operators.DedupOps.jaccardCollapseProbe(spark, dir)
       println(s"[ngramprobe] $dir jaccard_collapse $s")
+    } else if (args.length > 1 && args(1) == "r14") {
+      // r14 evidence: recall-audit collapse + per-family size-filter cuts
+      val r = operators.DedupOps.recallCollapseProbe(spark, dir)
+      println(s"[ngramprobe] $dir recall_collapse $r")
+      operators.DedupOps.sizeBoundProbe(spark, dir).foreach { case (k, s) =>
+        println(s"[ngramprobe] $dir sizebound_$k $s")
+      }
     } else {
       val probes = operators.DedupOps.ngramProbes(spark, dir)
       probes.foreach { case (name, s) => println(s"[ngramprobe] $dir $name $s") }

@@ -66,14 +66,28 @@ case class MatProject(child: Expression, means: Seq[Double],
 
 object MatProject {
 
-  /** Named `compute`, not `eval` — see [[JlProject.compute]]. */
+  /** Named `compute`, not `eval` — see [[JlProject.compute]].
+    *
+    * Input contract enforced with a clear message (r14, ADVICE): the HOF
+    * form this kernel replaced null-propagated a short or null-holding
+    * embedding row into silent null outputs via `element_at`; the raw
+    * `getDouble(i)` here would instead read undefined bytes or throw an
+    * opaque ArrayIndexOutOfBounds. A malformed embedding row is corrupt
+    * input either way — fail loudly and name it.
+    */
   def compute(v: ArrayData, means: Array[Double], mat: Array[Array[Double]],
               fromFloat: Boolean): ArrayData = {
     val k = mat.length
     val d = means.length
+    if (v.numElements() < d) throw new IllegalArgumentException(
+      s"mat_project: embedding row has ${v.numElements()} elements, " +
+        s"projection expects $d — corrupt or truncated embedding input")
     val centered = new Array[Double](d)
     var i = 0
     while (i < d) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"mat_project: embedding row holds NULL at element $i — corrupt " +
+          s"embedding input (the projection is defined on dense vectors)")
       // CAST(float AS DOUBLE) is exact, so pre-centering once per row is
       // the identical value sequence the per-c fold saw
       val x = if (fromFloat) v.getFloat(i).toDouble else v.getDouble(i)

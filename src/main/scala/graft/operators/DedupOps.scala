@@ -59,6 +59,12 @@ object DedupOps {
     * consumed once anyway, so there is nothing to barrier).
     */
   private[graft] def withSignature(df: DataFrame, barrier: Boolean): DataFrame = {
+    // r14 (ADVICE): h32Sql/hashArraySql resolve to the md5_h64 kernel, and
+    // this funnel is reached from public entry points that never pass
+    // through Tables.table (spanDedupStream, admitStream via
+    // incrementBands, corpusBands/corpusShingleSets) — register
+    // defensively so a bare session without GraftExtensions analyzes.
+    graft.functions.Md5Head64.register(df.sparkSession)
     // r13: floor the signature build's parallelism at core count — the
     // single-row-group sf parquet plans a 1-task scan and the fused
     // shingle+digest chain ran serially (Tables.parallelized scaladoc)
@@ -211,15 +217,17 @@ object DedupOps {
     * above). One row out: true pair count, LSH-caught count, recall.
     *
     * The truth side must not itself miss pairs, so candidates come from
-    * an EXACT-RECALL prefix filter (same principle as
-    * [[ngramContainmentBanded]]): J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so at
-    * most ⌊(1−t)·|A|⌋ of A's shingles are missing from B and any
-    * ⌊|A|/2⌋+2 of them (t = 0.5, +1 slop for the round-to-4 the hit side
-    * applies) include one shared with B — in particular the ⌊|A|/2⌋+2
-    * RAREST by corpus document frequency, whose posting lists are the
-    * shortest. Probe prefix vs full postings on the shingle hash, dedup
-    * the id pairs, confirm with the exact string-set Jaccard (identical
-    * formula to the LSH verification, so hits ⊆ truth by construction).
+    * the EXACT-RECALL PPJoin+ spine ([[recallSpine]] — the t = 0.5
+    * jaccard instantiation of [[BandedSpine]], r14): J(A,B) ≥ t implies
+    * |A∩B| ≥ t'·|A| (t' = 0.49995, the round-to-4 slop the hit side
+    * applies), so at most ⌊0.50005·|A|⌋ of A's shingles are missing
+    * from B and the ⌊0.50005·|A|⌋+K RAREST by corpus document frequency
+    * (K = 8) include ≥ min(K, |A|−m) shared with B — the candidate
+    * equijoin catches every qualifying pair, and the spine's positional
+    * + match-count + size filters (recall-1.0 derivations on the spine)
+    * thin the confirm set before any shingle set is fetched. Confirm
+    * with the exact string-set Jaccard (identical formula to the LSH
+    * verification, so hits ⊆ truth by construction).
     *
     * Scale shape: df and ranking shuffle slim (doc_id, gh) rows; the
     * candidate join is keyed on gh with prefix-bounded fan-out; the
@@ -242,8 +250,44 @@ object DedupOps {
     */
   def dedupLshRecall(spark: SparkSession, sfDir: String,
                      sampleN: Int = 10000): DataFrame = {
-    JaccardSimilarity.register(spark)
     val thr = 0.5
+    val (docs, shs, ranked) = lshRecallTables(spark, sfDir, sampleN)
+    // r14 (VERDICT #2): the truth candidates now run the full PPJoin+
+    // spine (positional + match-count + size thinning) instead of the
+    // bare prefix probe — recall-1.0 derivation at [[recallSpine]]; the
+    // ~1 M-pair confirm set this collapses was the row's remaining cost
+    val cand = recallSpine.survivors(ranked)
+    // the confirm join's rows are compute-dense (two string-set
+    // intersections per pair, tiny bytes), exactly what AQE's byte-based
+    // coalescing under-sizes — measured at sf0.1 as a 6-task stage
+    // holding 65% of the query's wall. Pin both id-keyed exchanges
+    // (r13; Tables.nPart scaladoc).
+    val truth = cand
+      .repartition(Tables.nPart(spark), col("a_id"))
+      .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
+      .repartition(Tables.nPart(spark), col("b_id"))
+      .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
+      .withColumn("ic", expr("intersect_count_sorted_str(a_sh, b_sh)").cast("double"))
+      .withColumn("jacc",
+        round(col("ic") /
+          (size(col("a_sh")) + size(col("b_sh")) - col("ic")), 4))
+      .filter(col("jacc") >= thr)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = minhashLshPairsOf(docs).filter(col("jacc") >= thr)
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nHit) // two 1-row aggregates — the intended nested loop
+      .select(col("n_true"), col("n_hit"),
+        expr("IF(n_true = 0, 1.0, round(n_hit / n_true, 4))").as("recall"))
+  }
+
+  /** Shared sampled-docs / shingle-set / rarest-first-ranking passes of
+    * the recall audit's truth side — factored so the r14 collapse probe
+    * measures the LIVE plan rather than a re-implemented copy (the r11
+    * ADVICE precedent on [[jaccardCollapseProbe]]).
+    */
+  private[graft] def lshRecallTables(spark: SparkSession, sfDir: String,
+      sampleN: Int = 10000): (DataFrame, DataFrame, DataFrame) = {
+    JaccardSimilarity.register(spark)
     val docsAll = Tables.documents(spark, sfDir)
     val nDocs = docsAll.count()
     val docs =
@@ -269,33 +313,60 @@ object DedupOps {
       .select(col("doc_id"), col("sz"), col("gh"), col("rk"))
       .repartition(Tables.nPart(spark), col("gh"))
       .transform(CacheScope.barrier) // probe and index sides share one ranking pass
+    (docs, shs, ranked)
+  }
+
+  /** r14 evidence probe (VERDICT #2): verify-set and candidate-row sizes
+    * of the recall audit's truth pass, old composition (bare ⌊sz/2⌋+2
+    * prefix probe → distinct pairs, the r13 shape) vs the PPJoin+ spine
+    * — the box-independent collapse numbers behind the
+    * [[dedupLshRecall]] rewiring, on the LIVE plan.
+    */
+  private[graft] def recallCollapseProbe(spark: SparkSession,
+                                         sfDir: String): String = {
+    val (_, _, ranked) = lshRecallTables(spark, sfDir)
     val probe = ranked.filter(col("rk") <= expr("sz div 2") + lit(2))
-    val cand = probe.as("p").join(ranked.as("q"),
+    val bare = probe.as("p").join(ranked.as("q"),
         col("p.gh") === col("q.gh") && col("p.doc_id") =!= col("q.doc_id"))
       .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
         greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"))
-      .distinct()
-    // the confirm join's rows are compute-dense (two string-set
-    // intersections per pair, tiny bytes), exactly what AQE's byte-based
-    // coalescing under-sizes — measured at sf0.1 as a 6-task stage
-    // holding 65% of the query's wall. Pin both id-keyed exchanges
-    // (r13; Tables.nPart scaladoc).
-    val truth = cand
-      .repartition(Tables.nPart(spark), col("a_id"))
-      .join(shs.select(col("doc_id").as("a_id"), col("shset").as("a_sh")), Seq("a_id"))
-      .repartition(Tables.nPart(spark), col("b_id"))
-      .join(shs.select(col("doc_id").as("b_id"), col("shset").as("b_sh")), Seq("b_id"))
-      .withColumn("ic", expr("intersect_count_sorted_str(a_sh, b_sh)").cast("double"))
-      .withColumn("jacc",
-        round(col("ic") /
-          (size(col("a_sh")) + size(col("b_sh")) - col("ic")), 4))
-      .filter(col("jacc") >= thr)
-    val nTrue = truth.agg(count(lit(1)).as("n_true"))
-    val nHit = minhashLshPairsOf(docs).filter(col("jacc") >= thr)
-      .agg(count(lit(1)).as("n_hit"))
-    nTrue.crossJoin(nHit) // two 1-row aggregates — the intended nested loop
-      .select(col("n_true"), col("n_hit"),
-        expr("IF(n_true = 0, 1.0, round(n_hit / n_true, 4))").as("recall"))
+    val candRowsBefore = bare.count()
+    val verifyBefore = bare.distinct().count()
+    val a = recallSpine.pairAgg(ranked).transform(CacheScope.barrier)
+    val candRowsAfter = a.agg(sum(col("matches"))).head().getLong(0)
+    val verifyAfter = a.filter(recallSpine.survivorFilter).count()
+    spark.catalog.clearCache(); CacheScope.release()
+    f"verifyPairsBefore=$verifyBefore verifyPairsAfter=$verifyAfter " +
+      f"collapse=${verifyBefore.toDouble / math.max(verifyAfter, 1L)}%.1fx " +
+      f"candRowsBefore=$candRowsBefore candRowsAfterSizeFiltered=$candRowsAfter"
+  }
+
+  /** r14 evidence probe (VERDICT #3 / spine size filter): per banded
+    * family, the candidate-aggregate input (Σ matches) and survivor
+    * count WITH the pair-level size bound vs WITHOUT it — the measured
+    * half of the "length filter cuts the aggregate's input" claim.
+    */
+  private[graft] def sizeBoundProbe(spark: SparkSession,
+                                    sfDir: String): Seq[(String, String)] = {
+    def measure(spine: BandedSpine, ranked: DataFrame): String = {
+      val withB = spine.pairAgg(ranked).transform(CacheScope.barrier)
+      val rowsWith = withB.agg(sum(col("matches"))).head().getLong(0)
+      val survWith = withB.filter(spine.survivorFilter).count()
+      val noB = spine.copy(sizeBound = None).pairAgg(ranked)
+        .transform(CacheScope.barrier)
+      val rowsNo = noB.agg(sum(col("matches"))).head().getLong(0)
+      val survNo = noB.filter(spine.copy(sizeBound = None).survivorFilter).count()
+      f"aggInputNoSize=$rowsNo aggInputSized=$rowsWith " +
+        f"cut=${(1.0 - rowsWith.toDouble / math.max(rowsNo, 1L)) * 100}%.1f%% " +
+        f"survivorsNoSize=$survNo survivorsSized=$survWith"
+    }
+    val (_, jr) = jaccardGramTables(spark, sfDir)
+    val j = measure(jaccardSpine, jr)
+    spark.catalog.clearCache(); CacheScope.release()
+    val (_, cr) = containmentGramTables(spark, sfDir)
+    val c = measure(containmentSpine, cr)
+    spark.catalog.clearCache(); CacheScope.release()
+    Seq("jaccard_char4" -> j, "containment_char4" -> c)
   }
 
   /** Oracle twin of [[dedupLshRecall]] INCLUDING the sampling cap: the
@@ -764,7 +835,33 @@ object DedupOps {
     * near-dups have near-equal lengths, and it caps block size so the
     * quadratic term stays bounded as the corpus grows.
     */
+  /** Runtime tripwire for the bounded-quadratic comparators (r13 verdict
+    * #2 / ADVICE): the `broadcast(b)` hints in the `_pairs` twins ship a
+    * full per-doc gram table, which is only safe under the documented
+    * tier contract (≤ `bound` docs — the [[containmentTier]] /
+    * [[jaccardTier]] `allPairsBound`). The auto dispatchers enforce that
+    * bound before selecting a quadratic tier; the FORCED twins
+    * previously relied on convention alone, so a caller pointing one at
+    * a real corpus would push a multi-GB broadcast toward the driver
+    * (8 GB hard cap) where the old shuffled join was slow but safe.
+    * This check is a count over the parquet footprint (no data columns
+    * read) — linear in file count, vanishing next to the n²/2 work the
+    * tier performs, and it fails with the same actionable message as
+    * the dispatchers.
+    */
+  private[graft] def requireBoundedCorpus(docs: DataFrame, what: String,
+                                          bound: Long = 100000L): Unit = {
+    val n = docs.count()
+    if (n > bound) throw new IllegalStateException(
+      s"$what guard: $n documents exceed the bounded-quadratic tier " +
+        s"contract ($bound) — this comparator broadcasts the full per-doc " +
+        s"gram table and compares n²/2 pairs within blocks, which is only " +
+        s"bounded work on a bounded corpus. Use the banded prefix-filter " +
+        s"tier (exact) or the minhash-LSH tier (approximate) at scale.")
+  }
+
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    requireBoundedCorpus(Tables.documents(spark, sfDir), "ngram_jaccard_pairs")
     JaccardSimilarity.register(spark)
     val g = Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("norm", normText(col("text")))
@@ -927,14 +1024,38 @@ object DedupOps {
     *     pair-level condition is EXISTS(row passing), not ALL — deeper
     *     matches of a true pair legitimately fail the per-row bound
     *     and must still count toward the match total.
-    *   - '''Count (PPJoin+)''': the qualifying direction alone
-    *     contributes ≥ min(K, min_sz − m(min_sz)) distinct prefix
-    *     matches; cross-direction double counts only ADD, so
-    *     ≥-filtering is safe. K = 2 preserves recall (one guaranteed
-    *     match needs +1); K = 8 is the measured trade (r10 containment,
-    *     r11 jaccard A/B 2.07×): +6 narrow prefix rows per doc buy a
-    *     multi-match requirement that collapses the verify set, whose
-    *     rows each carry two ~600-element gram arrays.
+    *   - '''Count (PPJoin+), per DIRECTION (r14)''': a qualifying
+    *     direction P⊂· contributes ≥ min(K, sz_P − m(sz_P)) distinct
+    *     prefix matches FROM ITS OWN PROBE (P's prefix grams joining
+    *     ·'s postings): if its prefix m+K < sz_P, at most m of the
+    *     prefix grams are unshared so ≥ K are shared; if the prefix is
+    *     the whole doc, all ≥ sz_P − m shared grams match. The r12
+    *     spine summed both directions' rows against the weaker
+    *     min(K, min_sz − m(min_sz)) floor; counting per direction and
+    *     filtering each against its own floor is strictly tighter with
+    *     the identical guarantee. Composition per family: jaccard
+    *     semantics make BOTH directions of a true pair qualify (each
+    *     with its own positional witness, see above), so both
+    *     directional tests are required (AND); containment qualifies
+    *     in at least ONE direction, so either suffices (OR).
+    *     K = 2 preserves recall (one guaranteed match needs +1); K = 8
+    *     is the measured trade (r10 containment, r11 jaccard A/B
+    *     2.07×): +6 narrow prefix rows per doc buy a multi-match
+    *     requirement that collapses the verify set, whose rows each
+    *     carry two ~600-element gram arrays.
+    *   - '''Size (length filter, r14)''': `sizeBound`(szP, szQ) is a
+    *     PAIR-LEVEL necessary condition of the family's threshold
+    *     (jaccard: J ≥ t ⟹ |P∩Q| ≥ t·max ⟹ min ≥ t·max, both
+    *     directions; containment: the qualifying direction P⊂Q has
+    *     |Q| ≥ |P∩Q| ≥ t·|P|, probe-side-asymmetric). Because it
+    *     holds for EVERY row of a qualifying pair, conjoining it to
+    *     the candidate join drops only rows of non-qualifying pairs —
+    *     the qualifying pairs' match counts and positional witnesses
+    *     are untouched, so the recall argument above is unchanged
+    *     while the per-pair aggregate's input (the stage whose hash
+    *     state was the 32-core pressure point, r13 verdict #1) loses
+    *     every size-mismatched candidate. Thresholds carry the same
+    *     round-to-4 slop as the family's floors.
     *
     * Floors take the target column's NAME (applied to `sz` in the
     * probe, `min_sz` in the count threshold) so each family keeps its
@@ -944,8 +1065,10 @@ object DedupOps {
       slack: Int,
       prefixFloor: String => Column,
       missFloor: String => Column,
-      extraKeys: Seq[String],
-      pairLowerBound: (Column, Column) => Column) {
+      blockKeys: Seq[String],
+      pairLowerBound: (Column, Column) => Column,
+      sizeBound: Option[(Column, Column) => Column] = None,
+      directionalOr: Boolean = false) {
 
     /** Membership in the ⌊missFloor(sz)⌋+slack rarest-gram probe prefix
       * — also the mass probes' counting predicate.
@@ -954,31 +1077,77 @@ object DedupOps {
       col("rk") <= prefixFloor("sz") + lit(slackOverride)
 
     /** Narrow candidate equijoin → per-pair aggregate: (a_id, b_id,
-      * matches, pos_ok, min_sz). The equijoin output stays NARROW (ids
-      * + sizes + a per-row positional flag, no gram arrays) and this
-      * aggregate is the only thing touching all candidate rows.
+      * matches, per-direction match counts + positional witnesses,
+      * sizes). The equijoin output stays NARROW (ids + sizes + per-row
+      * direction/positional flags, no gram arrays) and this aggregate
+      * is the only thing touching all candidate rows.
       */
     def pairAgg(ranked: DataFrame, slackOverride: Int = slack): DataFrame = {
-      val keyCond = ("lang" +: extraKeys)
-        .map(k => col(s"p.$k") === col(s"q.$k")).reduce(_ && _)
-      ranked.filter(prefixCond(slackOverride)).as("p").join(ranked.as("q"),
-          keyCond && col("p.gh") === col("q.gh") &&
-            col("p.doc_id") =!= col("q.doc_id"))
-        .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
-          greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
-          least(col("p.sz"), col("q.sz")).as("row_min_sz"),
-          (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
-            pairLowerBound(col("p.sz"), col("q.sz")) - lit(1))
-            .cast("int").as("pos_ok"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
-          min(col("row_min_sz")).as("min_sz"))
+      val conds = blockKeys.map(k => col(s"p.$k") === col(s"q.$k")) ++
+        Seq(col("p.gh") === col("q.gh"),
+          col("p.doc_id") =!= col("q.doc_id")) ++
+        sizeBound.map(f => f(col("p.sz"), col("q.sz"))).toSeq
+      val joined = ranked.filter(prefixCond(slackOverride)).as("p")
+        .join(ranked.as("q"), conds.reduce(_ && _))
+      val posOk =
+        (least(col("p.sz") - col("p.rk"), col("q.sz") - col("q.rk")) + lit(1) >=
+          pairLowerBound(col("p.sz"), col("q.sz")) - lit(1)).cast("int")
+      if (directionalOr) {
+        // per-direction shape (r14, containment): +4 slim agg columns
+        // buy a per-direction floor that the asymmetric semantics can
+        // exploit (measured 842k → 435k survivors at sf0.1); the
+        // symmetric families measured no survivor cut from it and keep
+        // the lean combined shape below
+        joined
+          .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+            greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+            least(col("p.sz"), col("q.sz")).as("row_min_sz"),
+            // which direction probed: a→b when the probe side is the
+            // smaller id (per-direction count filter, spine note r14)
+            (col("p.doc_id") < col("q.doc_id")).cast("int").as("from_a"),
+            when(col("p.doc_id") < col("q.doc_id"), col("p.sz"))
+              .otherwise(col("q.sz")).as("row_sz_a"),
+            when(col("p.doc_id") < col("q.doc_id"), col("q.sz"))
+              .otherwise(col("p.sz")).as("row_sz_b"),
+            posOk.as("pos_ok"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("matches"),
+            sum(col("from_a")).as("m_ab"),
+            sum(lit(1) - col("from_a")).as("m_ba"),
+            max(col("from_a") * col("pos_ok")).as("pos_ab"),
+            max((lit(1) - col("from_a")) * col("pos_ok")).as("pos_ba"),
+            min(col("row_min_sz")).as("min_sz"),
+            min(col("row_sz_a")).as("sz_a"),
+            min(col("row_sz_b")).as("sz_b"))
+      } else {
+        // combined shape (r12): matches summed over both directions
+        // against the min_sz floor
+        joined
+          .select(least(col("p.doc_id"), col("q.doc_id")).as("a_id"),
+            greatest(col("p.doc_id"), col("q.doc_id")).as("b_id"),
+            least(col("p.sz"), col("q.sz")).as("row_min_sz"),
+            posOk.as("pos_ok"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("matches"), max(col("pos_ok")).as("pos_ok"),
+            min(col("row_min_sz")).as("min_sz"))
+      }
     }
 
-    /** The pair-level EXISTS-positional + match-count filter. */
-    def survivorFilter: Column =
-      col("pos_ok") === 1 && col("matches") >=
-        least(lit(slack), col("min_sz") - missFloor("min_sz"))
+    /** The pair-level EXISTS-positional + match-count filter; in
+      * `directionalOr` mode each direction is tested against ITS OWN
+      * floor and witness and either direction suffices (spine note
+      * r14 — the asymmetric containment semantics).
+      */
+    def survivorFilter: Column = {
+      def dirOk(m: String, pos: String, sz: String): Column =
+        col(pos) === 1 && col(m) >=
+          least(lit(slack), col(sz) - missFloor(sz))
+      if (directionalOr)
+        dirOk("m_ab", "pos_ab", "sz_a") || dirOk("m_ba", "pos_ba", "sz_b")
+      else
+        col("pos_ok") === 1 && col("matches") >=
+          least(lit(slack), col("min_sz") - missFloor("min_sz"))
+    }
 
     /** Candidate (a_id, b_id) pairs for the family's verify join. */
     def survivors(ranked: DataFrame): DataFrame =
@@ -999,8 +1168,43 @@ object DedupOps {
     slack = JaccardPrefixSlack,
     prefixFloor = n => expr(s"(3 * $n) div 5"),
     missFloor = n => expr(s"(3 * $n) div 5"),
-    extraKeys = Seq("lenb"),
-    pairLowerBound = (szP, szQ) => lit(0.4 / 1.4) * (szP + szQ))
+    blockKeys = Seq("lang", "lenb"),
+    pairLowerBound = (szP, szQ) => lit(0.4 / 1.4) * (szP + szQ),
+    // no sizeBound: J ≥ 0.4 does imply min ≥ 0.4·max, but the lenb
+    // blocking already enforces near-equal sizes — measured 0.0% cut
+    // at sf0.1 (sizeBoundProbe), so the predicate would be pure
+    // per-row cost here. Combined (non-directional) count shape for
+    // the same reason: the directional AND cut survivors only 1.5%
+    // at sf0.1 while widening the aggregate — measured net-negative.
+    )
+
+  /** Recall-audit instantiation of [[BandedSpine]] (r14, VERDICT #2):
+    * jaccard at t = 0.5 over the word-3-shingle HASH ranking of
+    * [[dedupLshRecall]]'s truth pass, no blocking key (the audit is
+    * corpus-wide by design; the sampling cap bounds it). Constants, all
+    * carrying the round-to-4 slop t' = 0.49995 of the `jacc ≥ 0.5`
+    * filter applied to `round(·, 4)`:
+    *
+    *   - missFloor / prefixFloor m(sz) = ⌊0.50005·sz⌋: J ≥ t' ⟹
+    *     |A∩B| ≥ t'·|A| ⟹ misses ≤ (1−t')·|A|;
+    *   - pairLowerBound (t'/(1+t'))·(|P|+|Q|): J = I/(|P|+|Q|−I) ≥ t'
+    *     ⟹ I ≥ t'/(1+t')·(|P|+|Q|);
+    *   - sizeBound min ≥ 0.49995·max (I ≤ min and I ≥ t'·max).
+    *
+    * 32-bit shingle-hash collisions only ADD candidate rows (a shared
+    * STRING shingle always collides by construction, and the exact
+    * string-set confirm rejects fakes), and the positional bound is an
+    * EXISTS witness, so collisions cannot lower recall. Slack K = 8 is
+    * the family's measured trade (see [[PrefixSlack]]).
+    */
+  private val recallSpine = BandedSpine(
+    slack = PrefixSlack,
+    prefixFloor = n => floor(lit(0.50005) * col(n)),
+    missFloor = n => floor(lit(0.50005) * col(n)),
+    blockKeys = Nil,
+    pairLowerBound = (szP, szQ) => lit(0.49995 / 1.49995) * (szP + szQ),
+    sizeBound = Some((szP, szQ) =>
+      szQ >= lit(0.49995) * szP && szP >= lit(0.49995) * szQ))
 
   private def jaccardBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame =
     jaccardSpine.survivors(ranked)
@@ -1207,6 +1411,8 @@ object DedupOps {
     * comparator is for).
     */
   def ngramContainmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    requireBoundedCorpus(Tables.documents(spark, sfDir),
+      "ngram_containment_pairs")
     JaccardSimilarity.register(spark)
     val g = Tables.documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))
@@ -1220,7 +1426,11 @@ object DedupOps {
     * shared by [[ngramContainmentPairs]] and the dense branch of
     * [[ngramContainmentAuto]] (which reuses its probe's cached grams;
     * gram order within `gr` is irrelevant here — the bitmap OR is
-    * order-independent).
+    * order-independent). Both callers enforce the ≤ `allPairsBound`
+    * tier contract before reaching the `broadcast(b)` below
+    * ([[requireBoundedCorpus]] in the forced twin, [[containmentTier]]
+    * in the dispatcher), so the broadcast build side is bounded by
+    * construction.
     */
   private def containmentBitmapFrom(g: DataFrame): DataFrame = {
     JaccardSimilarity.register(g.sparkSession)
@@ -1370,8 +1580,15 @@ object DedupOps {
     slack = PrefixSlack,
     prefixFloor = n => expr(s"$n div 5"),
     missFloor = n => floor(lit(0.20005) * col(n)),
-    extraKeys = Nil,
-    pairLowerBound = (szP, _) => lit(0.79995) * szP)
+    blockKeys = Seq("lang"),
+    pairLowerBound = (szP, _) => lit(0.79995) * szP,
+    // a probe row witnesses direction P⊂Q, which needs |Q| ≥ |P∩Q| ≥
+    // 0.79995·|P| (spine size-filter note; same slop constant as the
+    // positional bound)
+    sizeBound = Some((szP, szQ) => szQ >= lit(0.79995) * szP),
+    // asymmetric semantics: per-direction floors, either direction
+    // suffices — measured 842k → 435k verify pairs at sf0.1
+    directionalOr = true)
 
   private def containmentBandedFrom(g: DataFrame, ranked: DataFrame): DataFrame =
     containmentSpine.survivors(ranked)
@@ -1604,6 +1821,8 @@ object DedupOps {
     * corpus, never the scale path.
     */
   def ngramJaccardShinglesPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    requireBoundedCorpus(Tables.documents(spark, sfDir),
+      "ngram_jaccard_shingles_pairs")
     val (g, _) = jaccardGramTables(spark, sfDir, shingles3Sql("t"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("lenb"), col("gr").as("ga"))
     val b = g.select(col("doc_id").as("b_id"), col("lang"), col("lenb"), col("gr").as("gb"))
@@ -1626,6 +1845,8 @@ object DedupOps {
     * regime.
     */
   def ngramContainmentShinglesPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    requireBoundedCorpus(Tables.documents(spark, sfDir),
+      "ngram_containment_shingles_pairs")
     val (g, _) = containmentGramTables(spark, sfDir, shingles3Sql("t"))
     val a = g.select(col("doc_id").as("a_id"), col("lang"), col("gr").as("ga"), col("sz").as("sza"))
     val b = g.select(col("doc_id").as("b_id"), col("lang"), col("gr").as("gb"), col("sz").as("szb"))
@@ -2001,7 +2222,10 @@ object DedupOps {
   /** The slim (doc_id, pos, span_h) window stream both span-dedup twins
     * rank over.
     */
-  private[graft] def spanWindows(docs: DataFrame, w: Int): DataFrame =
+  private[graft] def spanWindows(docs: DataFrame, w: Int): DataFrame = {
+    // r14 (ADVICE): defensive kernel registration — this funnel is reached
+    // from SpanDedupStream on a bare session (see withSignature note)
+    graft.functions.Md5Head64.register(docs.sparkSession)
     // r13: the w-shingle digest chain fuses into the docs scan — floor
     // its parallelism (Tables.parallelized scaladoc; measured −0.57 s on
     // doc_span_clean / −0.30 s on doc_span_dedup at sf0.1)
@@ -2010,6 +2234,7 @@ object DedupOps {
       .select(col("doc_id"), posexplode(expr(shinglesWSql("t", w))).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         expr(h32Sql("sh")).as("span_h"))
+  }
 
   val docSpanDedupSql: String =
     """WITH t AS (SELECT doc_id,

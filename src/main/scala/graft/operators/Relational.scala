@@ -151,7 +151,13 @@ object Relational {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
         col("l_linenumber").asc)
+    // r14 (r13 "not yet optimized" #4): pin the window's suppkey
+    // exchange at the session width — the rows are ~30 narrow bytes, so
+    // AQE's byte-based coalescing squeezed the per-key sort stage onto
+    // ~5 of 32 cores (user-origin repartition satisfies the window's
+    // required distribution: still exactly ONE exchange)
     Tables.lineitem(spark, sfDir)
+      .repartition(Tables.nPart(spark), col("l_suppkey"))
       .withColumn("rn", row_number().over(w))
       .withColumn("running_price", round(sum(col("l_extendedprice"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).cast("double"))

@@ -301,7 +301,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val n = Tables.documents(spark, sfDir)
       .groupBy().agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = Tables.documents(spark, sfDir)
+    // r14: floor the tokenize+explode scan's parallelism — the fused
+    // normalize/split/explode chain is the query's compute-dense stage
+    // and a single-row-group input serializes it (Tables.parallelized
+    // scaladoc; this was the family's one anti-scaling row, 8c/32c
+    // ratio 0.81 in PERF_r13). Targeted, not blanket: the tf subtree
+    // is shared by both aggregates via exchange reuse, so the floor
+    // pays once.
+    val tf = Tables.parallelized(Tables.documents(spark, sfDir))
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), explode(col("t")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -1086,6 +1093,22 @@ object TextOps {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // r14 (VERDICT #5 "argmax + checkpoint → one action"): each round is
+    // ONE action, but under AQE every round's pair-count exchange
+    // materializes as its own shuffle-stage job before the argmax job —
+    // 2 scheduling waves per round on a table AQE has nothing to
+    // re-optimize (the distinct-word table is Heaps-bounded and the agg
+    // keys on symbol pairs, a bounded decision table; runtime
+    // coalescing buys nothing a bounded table needs). Scope AQE off for
+    // the merge loop only — the corpus-sized word-count pass above
+    // stays under whatever the session configured, because round 1's
+    // action materializes it inside the non-AQE window… so materialize
+    // it EAGERLY first (one job, session conf intact), then loop.
+    // Results are bit-identical either way; only scheduling changes.
+    cur.count()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (rank <= merges && !exhausted) {
       val top = cur
         .filter(size(col("seq")) >= 2)
@@ -1113,6 +1136,7 @@ object TextOps {
         rank += 1
       }
     }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         col("merged"), col("pair_count"))
@@ -1253,24 +1277,46 @@ object TextOps {
     val n = feats.count()
     val w = Array.fill(names.length)(0.0)
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to iters) {
-      val z = (0 until names.length)
-        .map(j => s"(${w(j)}) * x$j").mkString(" + ")
-      val agg = feats
-        .withColumn("p", expr(s"1.0 / (1.0 + exp(-($z)))"))
-        .withColumn("e", col("p") - col("y"))
-        .select(
-          (0 until names.length).map(j =>
-            sum(expr(s"CAST(round(1e6 * e * x$j) AS BIGINT)")).as(s"g$j")) :+
-          sum(expr(
-            """CAST(round(-1e6 * (y * ln(p + 1e-12)
-              |  + (1.0 - y) * ln(1.0 - p + 1e-12))) AS BIGINT)""".stripMargin))
-            .as("loss"): _*)
-        .head()
-      losses += agg.getLong(names.length).toDouble / 1e6 / n.toDouble
-      for (j <- 0 until names.length)
-        w(j) -= lr * (agg.getLong(j).toDouble / 1e6) / n.toDouble
-    }
+    // r14 note (VERDICT #5, attempted and REVERTED): routing the weights
+    // through a broadcast 1-row frame (iteration-invariant generated
+    // code, codegen-cache hits) measured WORSE than the literal form —
+    // 2.33 → 2.98 s median at sf0.1 with jit_ms unchanged (81.3 → 78.9 s
+    // — the JIT total is session background, not per-iteration codegen),
+    // because the per-iteration BroadcastExchange + BNLJ costs more than
+    // the re-planning it saves. Left as literals.
+    //
+    // What DID pay (VERDICT #5 "GD gradient + loss → one agg" taken one
+    // step further): the gradient and loss were already one aggregate,
+    // but under AQE that aggregate's SinglePartition exchange
+    // materializes as its own job before the result job — 2 scheduling
+    // waves per iteration for a plan AQE cannot improve (a global
+    // aggregate's final stage is one partition at ANY scale; there is
+    // nothing to coalesce). AQE is scoped off for the loop only; the
+    // corpus-sized feature scan above materializes under the session
+    // conf via the count. Results are bit-identical; only scheduling
+    // changes (jobs per iteration 2 → 1).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (_ <- 1 to iters) {
+        val z = (0 until names.length)
+          .map(j => s"(${w(j)}) * x$j").mkString(" + ")
+        val agg = feats
+          .withColumn("p", expr(s"1.0 / (1.0 + exp(-($z)))"))
+          .withColumn("e", col("p") - col("y"))
+          .select(
+            (0 until names.length).map(j =>
+              sum(expr(s"CAST(round(1e6 * e * x$j) AS BIGINT)")).as(s"g$j")) :+
+            sum(expr(
+              """CAST(round(-1e6 * (y * ln(p + 1e-12)
+                |  + (1.0 - y) * ln(1.0 - p + 1e-12))) AS BIGINT)""".stripMargin))
+              .as("loss"): _*)
+          .head()
+        losses += agg.getLong(names.length).toDouble / 1e6 / n.toDouble
+        for (j <- 0 until names.length)
+          w(j) -= lr * (agg.getLong(j).toDouble / 1e6) / n.toDouble
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     (names, w, losses.toSeq, n)
   }
   // doc_quality_train: iterative GD is not SQL-expressible and float

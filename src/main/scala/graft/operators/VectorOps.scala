@@ -1129,11 +1129,14 @@ object VectorOps {
       fail(s"params '${str("params")}' != expected '$IvfParams'")
     if (str("corpus_fingerprint") != corpusFingerprint(spark, sfDir))
       fail("corpus fingerprint mismatch — the corpus changed under the index")
-    val nCentroids = spark.read.parquet(s"$dir/centroids.parquet").count()
+    // r14: the two row-count probes are independent reads — issue them
+    // concurrently (§2.6); same checks, one scheduling wave
+    val Seq(nCentroids, nCodebooks) = inParallel(
+      () => spark.read.parquet(s"$dir/centroids.parquet").count(),
+      () => spark.read.parquet(s"$dir/codebooks.parquet").count())
     if (nCentroids != num("rows_centroids"))
       fail(s"centroids.parquet has $nCentroids rows, manifest says " +
         s"${num("rows_centroids")}")
-    val nCodebooks = spark.read.parquet(s"$dir/codebooks.parquet").count()
     if (nCodebooks != num("rows_codebooks"))
       fail(s"codebooks.parquet has $nCodebooks rows, manifest says " +
         s"${num("rows_codebooks")}")
@@ -1168,12 +1171,39 @@ object VectorOps {
         sum(col("code")).cast("long").as("code_sum"))
   }
 
+  /** Run independent Spark actions concurrently from a bounded driver
+    * pool (guide §2.6: the scheduler happily overlaps jobs; actions are
+    * only sequential because driver code calls them sequentially — each
+    * job's scheduling/serde tail back-fills the others' idle cores).
+    * Job descriptions are thread-local, so callers may label inside the
+    * thunks. Exceptions are unwrapped and rethrown.
+    */
+  private def inParallel[T](thunks: (() => T)*): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = t()
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   private def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String,
                             overwrite: Boolean = false): Unit = {
     CosineSimilarity.register(spark)
     graft.functions.L2Distance.register(spark)
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("v")).transform(CacheScope.barrier)
+    // materialize the shared projection ONCE up front — the count is
+    // needed for the manifest anyway, and a warm cache keeps the two
+    // concurrent training chains below from racing the same scan
+    val nVectors = e.count()
     val piv = lloyd(e, 16, 2)._1
       .select(col("c_id").as("p_id"), col("cv").as("pv"))
       .transform(CacheScope.barrier)
@@ -1196,9 +1226,25 @@ object VectorOps {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       dir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-    piv.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
-    cent.select(col("s"), col("c_id"), col("cv"))
-      .write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
+    // r14 (VERDICT #4): the coarse-centroid chain (lloyd → centroids
+    // write) and the PQ chain (pqTrain → codebooks write) are
+    // independent once `e` is cached — run them CONCURRENTLY (§2.6) so
+    // their many small sequential jobs back-fill each other instead of
+    // serializing 25 jobs end to end. The codes write needs both
+    // trained artifacts and runs alone afterwards at full width. Same
+    // jobs, same bytes, same artifacts — only the driver-side
+    // sequencing changed.
+    inParallel(
+      () => {
+        spark.sparkContext.setJobDescription("ivf build: coarse centroids")
+        piv.write.mode("overwrite").parquet(s"$tmp/centroids.parquet")
+      },
+      () => {
+        spark.sparkContext.setJobDescription("ivf build: pq codebooks")
+        cent.select(col("s"), col("c_id"), col("cv"))
+          .write.mode("overwrite").parquet(s"$tmp/codebooks.parquet")
+      })
+    spark.sparkContext.setJobDescription("ivf build: encode + write codes")
     // one file per inverted list (cells are the unit a probe reads);
     // codes.parquet is written LAST among the parquet artifacts — its
     // _SUCCESS stays the completion marker [[ivfIndexExists]] checks
@@ -1206,16 +1252,23 @@ object VectorOps {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmp/codes.parquet")
+    spark.sparkContext.setJobDescription("ivf build: manifest read-backs")
     // manifest written from READ-BACKS of the temp artifacts (proving
-    // each is loadable), then the atomic publish
+    // each is loadable — the same checks as before, now issued
+    // concurrently, §2.6), then the atomic publish
+    val Seq(rowsCentroids, rowsCodebooks, rowsCodes) = inParallel(
+      () => spark.read.parquet(s"$tmp/centroids.parquet").count(),
+      () => spark.read.parquet(s"$tmp/codebooks.parquet").count(),
+      () => spark.read.parquet(s"$tmp/codes.parquet").count())
+    spark.sparkContext.setJobDescription(null)
     val manifest =
       s"""{"params": "$IvfParams",
          | "corpus": "$sfDir",
          | "corpus_fingerprint": "${corpusFingerprint(spark, sfDir)}",
-         | "n_vectors": ${e.count()},
-         | "rows_centroids": ${spark.read.parquet(s"$tmp/centroids.parquet").count()},
-         | "rows_codebooks": ${spark.read.parquet(s"$tmp/codebooks.parquet").count()},
-         | "rows_codes": ${spark.read.parquet(s"$tmp/codes.parquet").count()}}""".stripMargin
+         | "n_vectors": $nVectors,
+         | "rows_centroids": $rowsCentroids,
+         | "rows_codebooks": $rowsCodebooks,
+         | "rows_codes": $rowsCodes}""".stripMargin
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/manifest.json"), true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
     fs.mkdirs(dst.getParent)

@@ -17,6 +17,30 @@ class AccuracySpec extends SparkSpec {
   // >3σ events rather than coin flips
   private val sfSample = "/root/testdata/sf0.01"
 
+  test("dedup_lsh_recall truth pass: PPJoin+ thinning finds exactly the brute-force truth (r14)") {
+    // the audit's n_true must equal the ALL-PAIRS exact jaccard count —
+    // the recall-1.0 property the spine derivation claims. Brute force
+    // recomputed here from raw shingle sets, independent of the operator.
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val shs = Tables.documents(spark, sf)
+      .withColumn("t", graft.functions.TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(expr(graft.functions.TextFns.shingles3Sql("t"))).as("shset"))
+    val brute = shs.as("a").join(shs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ic", size(array_intersect(col("a.shset"), col("b.shset"))).cast("double"))
+      .withColumn("jacc", round(col("ic") /
+        (size(col("a.shset")) + size(col("b.shset")) - col("ic")), 4))
+      .filter(col("jacc") >= 0.5)
+      .count()
+    val row = operators.DedupOps.dedupLshRecall(spark, sf).head()
+    CacheScope.release(); spark.catalog.clearCache()
+    assert(row.getLong(0) == brute,
+      s"thinned truth ${row.getLong(0)} != brute-force truth $brute")
+    assert(brute > 0, "sf0.001 must contain at least one true near-dup pair")
+  }
+
   test("q18 approx_count_distinct within 2% of the exact q9 counts") {
     val exact = Relational.q9DistinctAgg(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap // n_parts per flag

@@ -86,4 +86,21 @@ class CodegenKernelSpec extends AnyFunSuite {
     check("jl_project_null", JlProject(nullArr, 4))
     check("z_value_null", ZValue(Seq(Literal(1L), Literal.create(null, LongType))))
   }
+
+  test("mat_project rejects malformed embedding rows with a clear message (r14 ADVICE)") {
+    val means = Seq(0.0, 0.0, 0.0)
+    val mat = Seq(Seq(1.0, 0.0, 0.0))
+    // well-formed row projects
+    check("mat_project", MatProject(dArr(1.0, 2.0, 3.0), means, mat))
+    // short row: loud, named failure instead of undefined reads
+    val short = intercept[IllegalArgumentException](
+      MatProject(dArr(1.0, 2.0), means, mat).eval(InternalRow.empty))
+    assert(short.getMessage.contains("2 elements"))
+    // null-holding row: same
+    val withNull = Literal.create(Seq[java.lang.Double](1.0, null, 3.0),
+      ArrayType(DoubleType, containsNull = true))
+    val nul = intercept[IllegalArgumentException](
+      MatProject(withNull, means, mat).eval(InternalRow.empty))
+    assert(nul.getMessage.contains("NULL at element 1"))
+  }
 }

@@ -118,4 +118,17 @@ class ContainmentGuardSpec extends SparkSpec {
     assert(auto.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
     spark.catalog.clearCache()
   }
+
+  test("quadratic-twin broadcast tripwire: the tier bound is enforced at runtime (r13 verdict #2)") {
+    // the forced _pairs twins broadcast a full per-doc gram table — only
+    // safe under the <= allPairsBound contract the auto dispatchers
+    // already enforce; the tripwire makes the forced paths fail loudly
+    // with the same escape hatches instead of OOMing a driver
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    DedupOps.requireBoundedCorpus(docs, "spec", bound = 100000L) // under: passes
+    val e = intercept[IllegalStateException](
+      DedupOps.requireBoundedCorpus(docs, "spec", bound = 10L))
+    assert(e.getMessage.contains("bounded-quadratic tier"))
+    assert(e.getMessage.contains("minhash-LSH"))
+  }
 }

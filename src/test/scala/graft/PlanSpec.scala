@@ -958,4 +958,46 @@ class PlanSpec extends SparkSpec {
     assert(cols.forall(cs => !cs.contains("content") && !cs.contains("text")),
       s"payload bytes rode the exchange: $cols")
   }
+
+  test("single-partition window audit: every partition-less window sits on a bounded input (r13 verdict #7)") {
+    // A Window with no PARTITION BY serializes on one task, so each such
+    // site must run on an input bounded by an AGGREGATE's key cardinality
+    // — not by corpus size. Per-site boundedness (asserted by count; the
+    // WHY lives here and in each operator's scaladoc):
+    //   - q20_ntile: 1 global window over customers — the documented
+    //     oracle-coverage form; q20_approx is the scale path (its own
+    //     test above asserts no global sort there).
+    //   - doc_shuffle: 1 window over the 256-row bucket histogram
+    //     (exclusive prefix sum); positions rank inside 256 partitions.
+    //   - ev_rfm: 3 scoreMap windows, each over a per-VALUE histogram
+    //     (distinct r_days/f/m values), decision-table-sized.
+    //   - ev_survival: cumulative risk/product windows over the per-DAY
+    //     curve table (bounded by the corpus's span in days).
+    //   - ev_uplift: 1 cumulative Qini window over score bands
+    //     (<= max pre-period events per user, never user count).
+    //   - ngram_containment_pairs: 1 vocabulary-dictionary window —
+    //     bounded-quadratic tier, corpus capped by requireBoundedCorpus.
+    def partitionlessWindows(name: String): Int = {
+      CacheScope.release(); spark.catalog.clearCache()
+      val phys = CacheScope.uncached {
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      }
+      phys.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }.size
+    }
+    val expected = Seq(
+      "q20_ntile" -> 1, "doc_shuffle" -> 1, "ev_rfm" -> 3,
+      "ev_survival" -> 2, "ev_uplift" -> 1, "ngram_containment_pairs" -> 1)
+    expected.foreach { case (q, n) =>
+      val got = partitionlessWindows(q)
+      assert(got <= n,
+        s"$q grew an UNdocumented partition-less window: $got > $n — " +
+          s"document its boundedness here or restructure it")
+    }
+    CacheScope.release()
+  }
 }
