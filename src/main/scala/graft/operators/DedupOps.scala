@@ -1061,7 +1061,7 @@ object DedupOps {
     * probe, `min_sz` in the count threshold) so each family keeps its
     * exact integer-vs-FP floor form.
     */
-  private final case class BandedSpine(
+  private[graft] final case class BandedSpine(
       slack: Int,
       prefixFloor: String => Column,
       missFloor: String => Column,
@@ -1160,14 +1160,55 @@ object DedupOps {
     */
   private val JaccardPrefixSlack = 8
 
+  /** Containment/recall prefix slack K = 8 — recall derivation on
+    * [[BandedSpine]]; the measured K = 2 → 8 trade is round 10's:
+    * 22.85 M single-shared-gram candidate pairs on the 50 k-doc
+    * realistic-vocabulary corpus → the ≥K filter leaves ~0.1% of them,
+    * turning a >75 GB spill DNF into an in-memory pass.
+    *
+    * Declared BEFORE every spine that references it: object vals
+    * initialize in declaration order, and a forward reference here is
+    * an UNINITIALIZED read (slack 0 — a shorter prefix than the
+    * recall derivation assumes). scalac's "Reference to uninitialized
+    * value" warning is the tripwire; [[graft.ContainmentGuardSpec]]
+    * pins the live spines' slack at runtime.
+    */
+  private val PrefixSlack = 8
+
   /** Jaccard instantiation of [[BandedSpine]] (t = 0.4; slack ported
     * round 11 — derivations on the spine): symmetric semantics allow
     * the extra (length-bucket) blocking key.
+    *
+    * '''Prefix floor (tightened r14, VERDICT #3 "the 60% prefix is
+    * loose")''': m(n) = ⌊0.42863·n⌋ replaces the one-sided r11 floor
+    * ⌊0.6·n⌋. Derivation — the standard PPJoin SELF-join bound applied
+    * to the pair's SMALLER side S: J ≥ t' ⟹ I ≥ t'/(1+t')·(|P|+|Q|)
+    * ≥ 2t'/(1+t')·|S|, so S misses at most (1 − 2t'/(1+t'))·|S| =
+    * 0.428622·|S| of its own grams (t' = 0.39995, the family slop;
+    * 0.42863 ≥ that, and floor of the larger constant only widens the
+    * prefix). The recall argument needs only the SMALLER side's
+    * direction: its probe prefix (m+K rarest grams) yields the first
+    * common gram (candidate row + positional witness — rank in S ≤
+    * m+1, and the q side is the FULL posting list so the row is never
+    * filtered there) and ≥ min(K, |S| − m(|S|)) distinct matches
+    * (prefix ⊊ doc: ≤ m of m+K prefix grams unshared; prefix = doc:
+    * all ≥ |S| − m shared grams match). The combined count filter
+    * tests matches ≥ min(K, min_sz − m(min_sz)) with min_sz = |S|, so
+    * the guarantee transfers unchanged — the LARGER side's direction
+    * no longer carries its own guarantee (its misses are only bounded
+    * by (1−t')·|L|), but its rows only ADD to the combined count.
+    * The grams a doc's prefix loses between 0.6n and 0.43n are its
+    * most FREQUENT prefix members (rank is rarest-first), i.e. the
+    * longest posting lists, so the candidate-mass cut is superlinear
+    * in the prefix cut (measured at sf0.1, sizeBoundProbe: 35.73 M →
+    * 14.55 M candidate-aggregate rows, −59%; survivors 557,566 →
+    * 542,185 — a superset of the true pairs either way, the exact
+    * verify join fixes the output).
     */
-  private val jaccardSpine = BandedSpine(
+  private[graft] val jaccardSpine = BandedSpine(
     slack = JaccardPrefixSlack,
-    prefixFloor = n => expr(s"(3 * $n) div 5"),
-    missFloor = n => expr(s"(3 * $n) div 5"),
+    prefixFloor = n => floor(lit(0.42863) * col(n)),
+    missFloor = n => floor(lit(0.42863) * col(n)),
     blockKeys = Seq("lang", "lenb"),
     pairLowerBound = (szP, szQ) => lit(0.4 / 1.4) * (szP + szQ),
     // no sizeBound: J ≥ 0.4 does imply min ≥ 0.4·max, but the lenb
@@ -1185,8 +1226,13 @@ object DedupOps {
     * carrying the round-to-4 slop t' = 0.49995 of the `jacc ≥ 0.5`
     * filter applied to `round(·, 4)`:
     *
-    *   - missFloor / prefixFloor m(sz) = ⌊0.50005·sz⌋: J ≥ t' ⟹
-    *     |A∩B| ≥ t'·|A| ⟹ misses ≤ (1−t')·|A|;
+    *   - missFloor / prefixFloor m(sz) = ⌊0.33338·sz⌋ (tightened r14,
+    *     same smaller-side PPJoin bound as [[jaccardSpine]]): J ≥ t'
+    *     ⟹ I ≥ 2t'/(1+t')·|S| = 0.666622·|S| for the pair's smaller
+    *     side S ⟹ S misses ≤ 0.333378·|S| of its own shingles; the
+    *     guarantee (first-common-gram witness + ≥ min(K, |S|−m)
+    *     matches) rides S's direction alone, and the q side is the
+    *     full posting list, so the larger side needs no prefix bound;
     *   - pairLowerBound (t'/(1+t'))·(|P|+|Q|): J = I/(|P|+|Q|−I) ≥ t'
     *     ⟹ I ≥ t'/(1+t')·(|P|+|Q|);
     *   - sizeBound min ≥ 0.49995·max (I ≤ min and I ≥ t'·max).
@@ -1197,10 +1243,10 @@ object DedupOps {
     * EXISTS witness, so collisions cannot lower recall. Slack K = 8 is
     * the family's measured trade (see [[PrefixSlack]]).
     */
-  private val recallSpine = BandedSpine(
+  private[graft] val recallSpine = BandedSpine(
     slack = PrefixSlack,
-    prefixFloor = n => floor(lit(0.50005) * col(n)),
-    missFloor = n => floor(lit(0.50005) * col(n)),
+    prefixFloor = n => floor(lit(0.33338) * col(n)),
+    missFloor = n => floor(lit(0.33338) * col(n)),
     blockKeys = Nil,
     pairLowerBound = (szP, szQ) => lit(0.49995 / 1.49995) * (szP + szQ),
     sizeBound = Some((szP, szQ) =>
@@ -1563,20 +1609,12 @@ object DedupOps {
     (g, ranked)
   }
 
-  /** Containment prefix slack K = 8 — recall derivation on
-    * [[BandedSpine]]; the measured K = 2 → 8 trade is round 10's:
-    * 22.85 M single-shared-gram candidate pairs on the 50 k-doc
-    * realistic-vocabulary corpus → the ≥K filter leaves ~0.1% of them,
-    * turning a >75 GB spill DNF into an in-memory pass.
-    */
-  private val PrefixSlack = 8
-
   /** Containment instantiation of [[BandedSpine]] (t = 0.8): integer
     * ⌊sz/5⌋ prefix floor (no FP floor drift), asymmetric-direction
     * positional bound, no extra blocking key (either side may be the
     * qualifying direction, so length buckets don't apply).
     */
-  private val containmentSpine = BandedSpine(
+  private[graft] val containmentSpine = BandedSpine(
     slack = PrefixSlack,
     prefixFloor = n => expr(s"$n div 5"),
     missFloor = n => floor(lit(0.20005) * col(n)),

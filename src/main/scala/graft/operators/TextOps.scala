@@ -301,14 +301,16 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val n = Tables.documents(spark, sfDir)
       .groupBy().agg(count(lit(1)).cast("double").as("n_docs"))
-    // r14: floor the tokenize+explode scan's parallelism — the fused
-    // normalize/split/explode chain is the query's compute-dense stage
-    // and a single-row-group input serializes it (Tables.parallelized
-    // scaladoc; this was the family's one anti-scaling row, 8c/32c
-    // ratio 0.81 in PERF_r13). Targeted, not blanket: the tf subtree
-    // is shared by both aggregates via exchange reuse, so the floor
-    // pays once.
-    val tf = Tables.parallelized(Tables.documents(spark, sfDir))
+    // r14 note (attempted and REVERTED): flooring the tokenize+explode
+    // scan with Tables.parallelized measured a consistent +30% at sf0.1
+    // ({1.225, 1.232} → {1.599, 1.596} s, interleaved fresh-JVM A/B) —
+    // the round-robin exchange lands between the scan and BOTH
+    // consumers of the tf subtree, so the tokenize work stays serial
+    // per-partition while the query pays an extra corpus-wide shuffle.
+    // The r13 lesson holds: floors only pay when the fused chain is the
+    // sole consumer of the scan (doc_span_clean shape), not when the
+    // subtree is shared via exchange reuse.
+    val tf = Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), explode(col("t")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))

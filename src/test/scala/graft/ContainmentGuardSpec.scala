@@ -119,6 +119,17 @@ class ContainmentGuardSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("banded spines carry the K=8 slack at runtime (initialization-order tripwire, r14)") {
+    // PrefixSlack/JaccardPrefixSlack are object vals: a spine declared
+    // BEFORE them reads an uninitialized 0 (scalac warns, nothing
+    // fails) and silently runs a shorter prefix than the recall
+    // derivation assumes — exactly what happened to recallSpine when
+    // it was first added. Pin the live values.
+    assert(DedupOps.jaccardSpine.slack == 8)
+    assert(DedupOps.recallSpine.slack == 8)
+    assert(DedupOps.containmentSpine.slack == 8)
+  }
+
   test("quadratic-twin broadcast tripwire: the tier bound is enforced at runtime (r13 verdict #2)") {
     // the forced _pairs twins broadcast a full per-doc gram table — only
     // safe under the <= allPairsBound contract the auto dispatchers

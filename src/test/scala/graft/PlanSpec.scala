@@ -392,14 +392,16 @@ class PlanSpec extends SparkSpec {
         SparkEntry.queries("ngram_jaccard_banded")(spark, sf)
           .queryExecution.executedPlan).toString
       // t/(1+t) at t=0.4 (positional bound), the slack-8 count threshold,
-      // and the ⌊3·sz/5⌋ integer floor in BOTH the prefix filter and the
-      // count threshold (2 `div 5` sites vs containment's 1 — matching
-      // the assertions below)
+      // and the r14 smaller-side PPJoin floor ⌊0.42863·sz⌋ in BOTH the
+      // prefix filter and the count threshold (derivation on
+      // jaccardSpine; replaced the r11 one-sided ⌊3·sz/5⌋ form)
       assert(jp.contains("0.28571428571428575"), "jaccard positional bound t/(1+t)")
       assert(jp.contains("least(8,"), "jaccard PPJoin+ count threshold slack")
-      assert(jp.sliding(5).count(_ == "div 5") == 2,
-        "jaccard integer prefix/miss floors: (3*sz) div 5 in the prefix " +
-          "filter AND (3*min_sz) div 5 in the count threshold")
+      assert(jp.sliding(7).count(_ == "0.42863") == 2,
+        "jaccard FP prefix/miss floors: ⌊0.42863·sz⌋ in the prefix " +
+          "filter AND ⌊0.42863·min_sz⌋ in the count threshold")
+      assert(jp.sliding(5).count(_ == "div 5") == 0,
+        "the r11 (3*sz) div 5 floor must be fully replaced")
       CacheScope.release(); spark.catalog.clearCache()
       val cp = CacheScope.uncached(
         SparkEntry.queries("ngram_containment_banded")(spark, sf)
